@@ -1,0 +1,177 @@
+"""Second-order graph-consistency filtering, batched for TPU.
+
+Reimplements the reference's LSS_R_Fast2* family
+(/root/reference/matching/matcher.cpp:1099-1647) as padded, vmappable JAX:
+
+- compatibility matrices are built with vectorized pairwise ops over a fixed
+  K correspondence slots (invalid slots carry zero rows/columns);
+- the spectral support is S <- H S / (sum S + eps) power iterations
+  (``lax.fori_loop``);
+- the sequential greedy one-to-one selection is reformulated as iterative
+  peeling: repeatedly select the highest-support *eligible* candidate. This
+  is exactly equivalent to the reference's single pass in decreasing-support
+  order because eligibility (not blocked by a selected minutia on either
+  side, compatible with every selected correspondence) only shrinks
+  monotonically as selections accumulate — an entry that was ineligible when
+  passed can never become eligible again. Peeling needs only
+  (#selections + 1) sequential steps instead of K, which matters when the
+  loop is vmapped over a 100K gallery axis.
+
+All functions operate on one correspondence set and are designed to be
+``jax.vmap``-ed over gallery/template axes.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..templates.data_model import MatcherConstants as MC
+
+_EPS_COMPAT = 1e-5   # H >= eps counts as compatible (matcher.cpp:1205/1329/1450)
+_THR_DIST = 1e-4     # greedy stop threshold, distance stages (matcher.cpp:1187)
+_THR_ANGLE = 1e-3    # greedy stop threshold, angle stage (matcher.cpp:1599)
+
+
+def build_dist_H(lxy: jnp.ndarray, rxy: jnp.ndarray, valid: jnp.ndarray,
+                 lookup: bool, d_thr: float = MC.DIST_THRESHOLD) -> jnp.ndarray:
+    """Distance-consistency matrix H[K, K].
+
+    ``lookup=True`` uses the quantized-coordinate semantics of
+    LSS_R_Fast2_Dist_lookup (integer |dx|,|dy| gated at 50, distances
+    16*hypot(dx, dy)); ``lookup=False`` the float semantics of
+    LSS_R_Fast2_Dist_eigen. Invalid slots produce zero rows/columns.
+    """
+    if lookup:
+        q = jnp.asarray(lxy, jnp.float32)
+        dxl = jnp.abs(q[:, None, 0] - q[None, :, 0])
+        dyl = jnp.abs(q[:, None, 1] - q[None, :, 1])
+        r = jnp.asarray(rxy, jnp.float32)
+        dxr = jnp.abs(r[:, None, 0] - r[None, :, 0])
+        dyr = jnp.abs(r[:, None, 1] - r[None, :, 1])
+        in_range = (dxl < MC.DIST_LUT_N) & (dyl < MC.DIST_LUT_N) \
+            & (dxr < MC.DIST_LUT_N) & (dyr < MC.DIST_LUT_N)
+        d1 = 16.0 * jnp.sqrt(dxl * dxl + dyl * dyl)
+        d2 = 16.0 * jnp.sqrt(dxr * dxr + dyr * dyr)
+    else:
+        dl = lxy[:, None, :] - lxy[None, :, :]
+        dr = rxy[:, None, :] - rxy[None, :, :]
+        d1 = jnp.sqrt(jnp.sum(dl * dl, axis=-1))
+        d2 = jnp.sqrt(jnp.sum(dr * dr, axis=-1))
+        in_range = jnp.ones(d1.shape, bool)
+
+    dist = jnp.abs(d1 - d2)
+    H = jnp.clip((30.0 - dist) / 25.0, 0.0, 1.0)
+    gate = in_range & (dist <= d_thr)
+    mask = valid[:, None] & valid[None, :]
+    K = H.shape[0]
+    off_diag = ~jnp.eye(K, dtype=bool)
+    return jnp.where(gate & mask & off_diag, H, 0.0).astype(jnp.float32)
+
+
+def _wrap_pi(a: jnp.ndarray) -> jnp.ndarray:
+    """adjust_angle (matcher.cpp:1638-1647): fold into (-pi, pi]."""
+    a = jnp.where(a > jnp.pi, a - 2 * jnp.pi, a)
+    return jnp.where(a < -jnp.pi, a + 2 * jnp.pi, a)
+
+
+def _ang_diff(a1: jnp.ndarray, a2: jnp.ndarray) -> jnp.ndarray:
+    d = jnp.abs(a1 - a2)
+    return jnp.where(d > jnp.pi, 2 * jnp.pi - d, d)
+
+
+def build_angle_H(lxy, lori, rxy, rori, valid) -> jnp.ndarray:
+    """Boolean angle-consistency matrix (LSS_R_Fast2 three angle tests)."""
+    rel_l = _wrap_pi(lori[:, None] - lori[None, :])
+    rel_r = _wrap_pi(rori[:, None] - rori[None, :])
+    t1 = _ang_diff(rel_l, rel_r) <= jnp.pi / 4
+
+    dxl = lxy[:, None, 0] - lxy[None, :, 0]
+    dyl = lxy[:, None, 1] - lxy[None, :, 1]
+    line_l = -jnp.arctan2(dyl, dxl)
+    dxr = rxy[:, None, 0] - rxy[None, :, 0]
+    dyr = rxy[:, None, 1] - rxy[None, :, 1]
+    line_r = -jnp.arctan2(dyr, dxr)
+
+    a1 = _wrap_pi(lori[:, None] - line_l)
+    a2 = _wrap_pi(rori[:, None] - line_r)
+    t2 = _ang_diff(a1, a2) <= jnp.pi / 6
+
+    b1 = _wrap_pi(lori[None, :] - line_l)
+    b2 = _wrap_pi(rori[None, :] - line_r)
+    t3 = _ang_diff(b1, b2) <= jnp.pi / 6
+
+    K = t1.shape[0]
+    mask = valid[:, None] & valid[None, :] & ~jnp.eye(K, dtype=bool)
+    return t1 & t2 & t3 & mask
+
+
+def power_iteration(H: jnp.ndarray, b0: jnp.ndarray, iters: int,
+                    eps: float = 1e-5) -> jnp.ndarray:
+    """S <- H S / (sum(H S) + eps), repeated ``iters`` times."""
+    def body(_, b):
+        c = jnp.dot(H, b, precision=jax.lax.Precision.HIGHEST)
+        return c / (jnp.sum(c) + eps)
+    return jax.lax.fori_loop(0, iters, body, b0)
+
+
+def greedy_one_to_one(S: jnp.ndarray, compat: jnp.ndarray, li: jnp.ndarray,
+                      ri: jnp.ndarray, valid: jnp.ndarray, thr: float) -> jnp.ndarray:
+    """Greedy mutual-compatibility selection; returns a selected mask [K].
+
+    ``compat`` is boolean pairwise compatibility; a candidate is selected only
+    if compatible with *all* previously selected correspondences and neither
+    of its minutiae is already used. Equivalent to the reference's sorted
+    single pass (see module docstring).
+    """
+    K = S.shape[0]
+    conflict = (li[:, None] == li[None, :]) | (ri[:, None] == ri[None, :])
+
+    def cond(state):
+        selected, eligible = state
+        return jnp.any(eligible & (S >= thr))
+
+    def body(state):
+        selected, eligible = state
+        masked = jnp.where(eligible & (S >= thr), S, -jnp.inf)
+        ind = jnp.argmax(masked)
+        selected = selected | (jnp.arange(K) == ind)
+        eligible = eligible & ~conflict[:, ind] & compat[:, ind]
+        return selected, eligible
+
+    # derive the initial carry from `valid` so both carry halves share the
+    # same (possibly device-varying, under shard_map) type
+    selected0 = jnp.logical_and(valid, False)
+    eligible0 = valid
+    selected, _ = jax.lax.while_loop(cond, body, (selected0, eligible0))
+    return selected
+
+
+def filter_correspondences(val: jnp.ndarray, li: jnp.ndarray, ri: jnp.ndarray,
+                           lxy: jnp.ndarray, lori: jnp.ndarray,
+                           rxy: jnp.ndarray, rori: jnp.ndarray,
+                           valid: jnp.ndarray, lookup: bool,
+                           dist_iters: int) -> jnp.ndarray:
+    """Full two-stage filtering of one correspondence set.
+
+    Inputs are per-slot gathered arrays: ``val`` raw similarities, ``li/ri``
+    latent/rolled minutiae indices, ``lxy/lori`` and ``rxy/rori`` gathered
+    coordinates and orientations. Returns the filtered match score
+    (sum of surviving similarities).
+    """
+    # Stage 1: distance consistency, support seeded with raw similarities.
+    H1 = build_dist_H(lxy, rxy, valid, lookup=lookup)
+    b0 = jnp.where(valid, val, 0.0).astype(jnp.float32)
+    S1 = power_iteration(H1, b0, dist_iters, eps=1e-5)
+    sel1 = greedy_one_to_one(S1, H1 >= _EPS_COMPAT, li, ri, valid, _THR_DIST)
+
+    # Stage 2: angle consistency over stage-1 survivors, uniform seed.
+    H2 = build_angle_H(lxy, lori, rxy, rori, sel1)
+    n2 = jnp.sum(sel1.astype(jnp.float32))
+    b2 = jnp.where(sel1, 1.0 / jnp.maximum(n2, 1.0), 0.0)
+    S2 = power_iteration(H2.astype(jnp.float32), b2, 5, eps=1e-5)
+    sel2 = greedy_one_to_one(S2, H2, li, ri, sel1, _THR_ANGLE)
+
+    return jnp.sum(jnp.where(sel2, val, 0.0))

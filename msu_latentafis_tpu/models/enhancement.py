@@ -1,0 +1,88 @@
+"""Enhancement autoencoder (Flax).
+
+Capability parity with the reference's tensorpack ``reconstruction2``
+(/root/reference/extraction/enhancement_AEC.py:198-223): a conv encoder
+(nf=16, 4x4 stride-2 x5 + 1x1 bottleneck, tanh feature) and deconv decoder
+(x5 + 3x3 conv, tanh output). Input is a [-1, 1]-normalized grayscale image;
+output is the enhanced image in [-1, 1].
+
+TPU-first details: NHWC layout, bfloat16-friendly compute with float32
+batch-norm statistics, fully convolutional — whole-image inference runs on
+any H, W that are multiples of 32 (pad + crop helpers below).
+"""
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class ConvBNRelu(nn.Module):
+    features: int
+    kernel: int = 4
+    stride: int = 2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = nn.Conv(self.features, (self.kernel, self.kernel),
+                    strides=(self.stride, self.stride), dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32)(x)
+        return nn.relu(x)
+
+
+class DeconvBNRelu(nn.Module):
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = nn.ConvTranspose(self.features, (4, 4), strides=(2, 2),
+                             dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32)(x)
+        return nn.relu(x)
+
+
+class EnhancementAEC(nn.Module):
+    """Conv-deconv enhancement autoencoder; 1-channel in/out."""
+
+    nf: int = 16
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        nf = self.nf
+        for i, mult in enumerate([1, 2, 4, 8, 8]):
+            x = ConvBNRelu(nf * mult, dtype=self.dtype)(x, train)
+        x = nn.Conv(nf, (1, 1), dtype=self.dtype)(x)
+        x = jnp.tanh(x)  # bottleneck 'feature'
+        for mult in [8, 4, 2, 1, 1]:
+            x = DeconvBNRelu(nf * mult, dtype=self.dtype)(x, train)
+        x = nn.Conv(1, (3, 3), dtype=self.dtype)(x)
+        return jnp.tanh(x)
+
+
+def pad_to_multiple(img: jnp.ndarray, multiple: int = 32) -> Tuple[jnp.ndarray, int, int]:
+    h, w = img.shape[-3:-1] if img.ndim >= 3 else img.shape
+    H = ((h + multiple - 1) // multiple) * multiple
+    W = ((w + multiple - 1) // multiple) * multiple
+    pad = [(0, 0)] * (img.ndim - 3) + [(0, H - h), (0, W - w), (0, 0)]
+    if img.ndim == 2:
+        pad = [(0, H - h), (0, W - w)]
+    return jnp.pad(img, pad), h, w
+
+
+def enhance_whole_image(apply_fn, variables, img: np.ndarray) -> np.ndarray:
+    """Whole-image inference matching ImportGraph.run_whole_image
+    (enhancement_AEC.py:89-104): x/128 - 1 in, min-max rescale to [0, 255]
+    out. ``apply_fn`` is a jitted model.apply closed over variables."""
+    x = jnp.asarray(img, jnp.float32) / 128.0 - 1.0
+    x = x[None, :, :, None]
+    x, h, w = pad_to_multiple(x, 32)
+    out = apply_fn(variables, x)
+    out = np.asarray(out[0, :h, :w, 0])
+    lo, hi = out.min(), out.max()
+    return (out - lo) / (hi - lo + 1e-9) * 255.0

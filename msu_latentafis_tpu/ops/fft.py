@@ -1,0 +1,151 @@
+"""FFT-domain preprocessing: cartoon-texture decomposition and STFT
+block enhancement, as jitted JAX.
+
+Reference semantics:
+- ``FastCartoonTexture`` — Butterworth low-pass in radius^4, gradient-norm
+  weighting, texture residual clipped to [0,255] around +/-20
+  (/root/reference/extraction/preprocessing.py:129-172);
+- ``STFT`` enhancement — 64x64 patches, stride 16, median subtraction, ring
+  band-pass for ridge spacing 3..18 px, energy normalization,
+  Gaussian-window overlap-add, output renormalized ~N(127,14)
+  (preprocessing.py:175-226).
+
+TPU formulation: the per-patch Python loop becomes one batched ``fft2`` over
+all patches, and overlap-add becomes a scatter-add — every op static-shape
+so XLA compiles once per image geometry.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BLOCK = 16
+PATCH = 64
+
+
+def _nextpow2(x: int) -> int:
+    return int(math.ceil(math.log2(x)))
+
+
+def lowpass_filter(img: jnp.ndarray, L: jnp.ndarray) -> jnp.ndarray:
+    """Zero-pad to L's shape, filter in the (fftshifted) frequency domain
+    (preprocessing.py:62-76)."""
+    h, w = img.shape
+    h2, w2 = L.shape
+    padded = jnp.pad(img, ((0, h2 - h), (0, w2 - w)))
+    f = jnp.fft.fftshift(jnp.fft.fft2(padded))
+    rec = jnp.real(jnp.fft.ifft2(jnp.fft.fftshift(f * L)))
+    return rec[:h, :w]
+
+
+def gradient_norm(img: jnp.ndarray) -> jnp.ndarray:
+    gy, gx = jnp.gradient(img)
+    return jnp.sqrt(gx * gx + gy * gy) + 1e-6
+
+
+@functools.partial(jax.jit, static_argnames=("sigma",))
+def fast_cartoon_texture(img: jnp.ndarray, sigma: float = 2.5) -> jnp.ndarray:
+    """Texture component of the cartoon+texture decomposition."""
+    img = img.astype(jnp.float32)
+    h, w = img.shape
+    n = max(2 ** _nextpow2(h), 2 ** _nextpow2(w))
+    half = n // 2
+    x, y = np.meshgrid(np.arange(-half, half), np.arange(-half, half))
+    r = (np.sqrt(x * x + y * y) + 1e-4) / n
+    L = jnp.asarray(1.0 / (1.0 + (2 * np.pi * r * sigma) ** 4), jnp.float32)
+
+    img_low = lowpass_filter(img, L)
+    g1 = lowpass_filter(gradient_norm(img), L)
+    g2 = lowpass_filter(gradient_norm(img_low), L)
+
+    diff = g1 - g2
+    ar1 = jnp.abs(g1)
+    diff = jnp.where(ar1 > 1, diff / jnp.where(ar1 > 1, ar1, 1.0), 0.0)
+
+    cmin, cmax = 0.3, 0.7
+    weight = (diff - cmin) / (cmax - cmin)
+    weight = jnp.where(diff < cmin, 0.0, weight)
+    weight = jnp.where(diff > cmax, 1.0, weight)
+
+    u = weight * img_low + (1.0 - weight) * img
+    temp = img - u
+    lim = 20.0
+    return jnp.clip((temp + lim) * 255.0 / (2 * lim), 0.0, 255.0)
+
+
+def extract_blocks(img: jnp.ndarray, patch: int = PATCH, stride: int = BLOCK,
+                   inclusive: bool = True):
+    """[H, W] -> patches [bh*bw, patch, patch] at the given stride.
+
+    ``inclusive=False`` reproduces preprocessing.STFT's block count
+    (h - patch) // stride, which drops the last fitting block;
+    ``inclusive=True`` the (h - patch) // stride + 1 of get_maps."""
+    h, w = img.shape
+    bh = (h - patch) // stride + (1 if inclusive else 0)
+    bw = (w - patch) // stride + (1 if inclusive else 0)
+    i0 = (np.arange(bh) * stride)[:, None, None, None]
+    j0 = (np.arange(bw) * stride)[None, :, None, None]
+    di = np.arange(patch)[None, None, :, None]
+    dj = np.arange(patch)[None, None, None, :]
+    patches = img[i0 + di, j0 + dj]
+    return patches.reshape(bh * bw, patch, patch), bh, bw
+
+
+def overlap_add(patches: jnp.ndarray, h: int, w: int, bh: int, bw: int,
+                stride: int = BLOCK) -> jnp.ndarray:
+    """Scatter-add [bh*bw, P, P] patches back onto an [h, w] canvas."""
+    p = patches.shape[-1]
+    i0 = (np.arange(bh) * stride)[:, None, None, None]
+    j0 = (np.arange(bw) * stride)[None, :, None, None]
+    di = np.arange(p)[None, None, :, None]
+    dj = np.arange(p)[None, None, None, :]
+    yy = jnp.asarray((i0 + di) * w + (j0 + dj)).reshape(bh * bw, p, p)
+    canvas = jnp.zeros((h * w,), patches.dtype)
+    canvas = canvas.at[yy.reshape(-1)].add(patches.reshape(-1))
+    return canvas.reshape(h, w)
+
+
+def _bandpass(patch_size: int) -> np.ndarray:
+    half = patch_size // 2
+    x, y = np.meshgrid(np.arange(-half, half), np.arange(-half, half))
+    r = np.sqrt(x * x + y * y) + 1e-4
+    f_low = patch_size / 18.0   # RMAX
+    f_high = patch_size / 3.0   # RMIN
+    return (1.0 / (1 + (r / f_high) ** 4)) * (1.0 / (1 + (f_low / r) ** 4))
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _stft_core(img: jnp.ndarray, band: jnp.ndarray, weight: jnp.ndarray) -> jnp.ndarray:
+    h, w = img.shape
+    patches, bh, bw = extract_blocks(img, inclusive=False)
+    med = jnp.median(patches.reshape(bh * bw, -1), axis=1)
+    patches = patches - med[:, None, None]
+    f = jnp.fft.fftshift(jnp.fft.fft2(patches), axes=(1, 2))
+    filt = band[None] * f
+    norm = jnp.sqrt(jnp.sum(jnp.abs(filt) ** 2, axis=(1, 2)))
+    filt = filt / (norm[:, None, None] + 1e-4)
+    rec = jnp.real(jnp.fft.ifft2(jnp.fft.ifftshift(filt, axes=(1, 2))))
+    return overlap_add(rec * weight[None], h, w, bh, bw)
+
+
+def stft_enhance(img: jnp.ndarray) -> jnp.ndarray:
+    """STFT block enhancement of a [H, W] image (H, W multiples of 16)."""
+    img = jnp.asarray(img, jnp.float32)
+    h0, w0 = img.shape
+    ovp = (PATCH - BLOCK) // 2
+    padded = jnp.pad(img, ((ovp, ovp), (ovp, ovp)))
+
+    half = PATCH // 2
+    x, y = np.meshgrid(np.arange(-half, half), np.arange(-half, half))
+    sigma = PATCH / 3.0
+    weight = jnp.asarray(np.exp(-(x * x + y * y) / (sigma * sigma)), jnp.float32)
+    band = jnp.asarray(_bandpass(PATCH), jnp.float32)
+
+    rec = _stft_core(padded, band, weight)
+    rec = rec[ovp:ovp + h0, ovp:ovp + w0]
+    out = (rec - jnp.median(rec)) / (jnp.std(rec) + 1e-6) * 14.0 + 127.0
+    return jnp.clip(out, 0.0, 255.0)

@@ -1,0 +1,118 @@
+"""Minutiae-aligned patch extraction for descriptor networks.
+
+Reference semantics (/root/reference/extraction/descriptor.py:37-160): 64
+precomputed rotation grids over a 160x160 window; per minutia the grid
+nearest to -ori rotates the neighborhood, one of 14 crop types selects a
+sub-window, and the crop is resized to 96x96.
+
+TPU formulation: the per-minutia Python loop becomes one batched gather —
+[N, 96, 96] patches come from a single ``img[yv, xv]`` advanced index with
+precomputed per-orientation integer grids, then a vectorized bilinear resize
+when the crop is smaller than the target.
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PATCH_WINDOW = 160
+ORI_NUM = 64
+
+# crop ranges per patch type (descriptor.py:37-82): (x_range, y_range)
+_PATCH_LOCATIONS: Dict[int, Tuple[Tuple[int, int], Tuple[int, int]]] = {
+    1: ((40, 120), (40, 120)),
+    2: ((32, 128), (32, 128)),
+    3: ((24, 136), (24, 136)),
+    4: ((16, 144), (16, 144)),
+    5: ((8, 152), (8, 152)),
+    6: ((0, 160), (0, 160)),
+    7: ((0, 96), (0, 96)),
+    8: ((32, 128), (0, 96)),
+    9: ((64, 160), (0, 96)),
+    10: ((64, 160), (32, 128)),
+    11: ((64, 160), (64, 160)),
+    12: ((32, 128), (64, 160)),
+    13: ((1, 96), (64, 160)),
+    14: ((1, 96), (32, 128)),
+}
+
+
+@functools.lru_cache(maxsize=2)
+def get_patch_index(patch_size: int = PATCH_WINDOW, ori_num: int = ORI_NUM,
+                    is_minu: bool = True) -> Tuple[np.ndarray, np.ndarray]:
+    """Rotation grids [ori_num, P, P] (x and y offsets), rounded to ints
+    (descriptor.py:85-107)."""
+    pi2 = 2 * math.pi if is_minu else math.pi
+    coords = np.arange(-patch_size // 2 + 1, patch_size // 2 + 1)
+    xv, yv = np.meshgrid(coords, coords)
+    xs, ys = [], []
+    for i in range(ori_num):
+        th = i * pi2 / ori_num
+        u = np.around(xv * np.cos(th) - yv * np.sin(th))
+        v = np.around(xv * np.sin(th) + yv * np.cos(th))
+        xs.append(u)
+        ys.append(v)
+    return np.asarray(xs, np.int32), np.asarray(ys, np.int32)
+
+
+def _bilinear_resize(patches: jnp.ndarray, out: int) -> jnp.ndarray:
+    """cv2.INTER_LINEAR-compatible resize of [N, H, W] -> [N, out, out]."""
+    n, h, w = patches.shape
+    sy, sx = h / out, w / out
+    fy = (np.arange(out) + 0.5) * sy - 0.5
+    fx = (np.arange(out) + 0.5) * sx - 0.5
+    y0 = np.clip(np.floor(fy).astype(int), 0, h - 1)
+    x0 = np.clip(np.floor(fx).astype(int), 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    wy = jnp.asarray(np.clip(fy - y0, 0, 1), jnp.float32)
+    wx = jnp.asarray(np.clip(fx - x0, 0, 1), jnp.float32)
+    a = patches[:, y0][:, :, x0]
+    b = patches[:, y0][:, :, x1]
+    c = patches[:, y1][:, :, x0]
+    d = patches[:, y1][:, :, x1]
+    top = a * (1 - wx)[None, None, :] + b * wx[None, None, :]
+    bot = c * (1 - wx)[None, None, :] + d * wx[None, None, :]
+    return top * (1 - wy)[None, :, None] + bot * wy[None, :, None]
+
+
+def extract_patches(minutiae: np.ndarray, img, patch_type: int = 1,
+                    patch_size: int = 96) -> jnp.ndarray:
+    """Aligned patches [N, patch_size, patch_size] for all minutiae.
+
+    Matches descriptor.extract_patches (:118-160): per-minutia nearest of 64
+    rotation grids by -ori, clamped advanced-index gather, crop by patch
+    type, bilinear resize when smaller than patch_size.
+    """
+    img = jnp.asarray(img, jnp.float32)
+    h, w = img.shape[:2]
+    gx, gy = get_patch_index()
+
+    m = np.asarray(minutiae)
+    n = len(m)
+    ori = (-m[:, 2]) % (2 * math.pi)
+    ori_ind = np.round(ori / (2 * math.pi) * ORI_NUM).astype(int) % ORI_NUM
+
+    (xa, xb), (ya, yb) = _PATCH_LOCATIONS[patch_type]
+    sub_x = slice(xa, xb)
+    sub_y = slice(ya, yb)
+    # crop the rotation grids first: gather only the needed window
+    gx_c = gx[:, sub_y, sub_x]
+    gy_c = gy[:, sub_y, sub_x]
+
+    xv = gx_c[ori_ind] + m[:, 0].astype(np.int64)[:, None, None]
+    yv = gy_c[ori_ind] + m[:, 1].astype(np.int64)[:, None, None]
+    xv = np.clip(xv, 0, w - 1)
+    yv = np.clip(yv, 0, h - 1)
+
+    patches = img[jnp.asarray(yv), jnp.asarray(xv)]
+    if patches.shape[1] < patch_size or patches.shape[2] < patch_size:
+        patches = _bilinear_resize(patches, patch_size)
+    elif patches.shape[1] > patch_size:
+        patches = _bilinear_resize(patches, patch_size)
+    return patches
