@@ -1,0 +1,196 @@
+"""Command-line interface.
+
+Mirrors the reference's three entry points with the same flags:
+- ``afis extract-latent --i <img> | --idir <dir> [--tdir <dir>]``
+  (extraction_latent.py:321-330 argparse surface);
+- ``afis extract-rolled --idir <dir> [--tdir <dir>]``
+  (extraction_rolled.py:278-286);
+- ``afis match -l <latent.dat> | -ldir <dir> -g <gallery_dir> -s <scores>
+  [-c <config>]`` (matching/main.cpp:35-87 / argparser.h).
+
+Run as ``python -m msu_latentafis_tpu.cli <subcommand> ...``.
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from .config import AfisConfig, find_config
+
+
+def _load_config(path: Optional[str]) -> AfisConfig:
+    cfg_path = path or find_config()
+    return AfisConfig.load(cfg_path) if cfg_path else AfisConfig()
+
+
+# ---------------------------------------------------------------------------
+# extraction
+# ---------------------------------------------------------------------------
+
+def cmd_extract_latent(args) -> int:
+    from .pipeline import LatentFeatureExtractor, ModelBundle
+    from .pipeline.postprocess import compress_template
+    from .templates import write_template, read_template, write_final_latent_template
+
+    cfg = _load_config(args.config)
+    tdir = args.tdir or cfg.LatentTemplateDirectory
+    os.makedirs(tdir, exist_ok=True)
+    models = ModelBundle.initialize(cfg)
+    extractor = LatentFeatureExtractor(models=models)
+
+    files = [args.i] if args.i else sorted(glob.glob(os.path.join(args.idir, "*.bmp"))
+                                           + glob.glob(os.path.join(args.idir, "*.png")))
+    for f in files:
+        name = os.path.splitext(os.path.basename(f))[0]
+        out = os.path.join(tdir, name + ".dat")
+        if not args.i and os.path.exists(out):   # resume-by-skip
+            continue
+        t0 = time.perf_counter()
+        template = extractor.extract_file(f)
+        print(f"{f}: extracted in {time.perf_counter() - t0:.2f}s "
+              f"({extractor.timings})")
+        write_template(out, template, is_latent=True)
+        # DR + PQ in place (the reference chains the same three stages)
+        t = read_template(out, is_latent=True)
+        compress_template(models, t)
+        write_final_latent_template(out, t)
+    return 0
+
+
+def cmd_extract_rolled(args) -> int:
+    from .pipeline import RolledFeatureExtractor, ModelBundle
+    from .pipeline.postprocess import compress_template
+    from .ops.pq import pq_encode
+    from .templates import (read_codebook, write_template, read_template,
+                            write_final_rolled_pq_template)
+
+    cfg = _load_config(args.config)
+    tdir = args.tdir or cfg.GalleryTemplateDirectory
+    os.makedirs(tdir, exist_ok=True)
+    models = ModelBundle.initialize(cfg)
+    extractor = RolledFeatureExtractor(models=models)
+    codebook = read_codebook(cfg.CodebookPath) if cfg.CodebookPath else None
+
+    files = sorted(glob.glob(os.path.join(args.idir, "*.bmp"))
+                   + glob.glob(os.path.join(args.idir, "*.png")))
+    files = files[args.N1:args.N2]
+    for f in files:
+        name = os.path.splitext(os.path.basename(f))[0]
+        out = os.path.join(tdir, name + ".dat")
+        if os.path.exists(out):
+            continue
+        t0 = time.perf_counter()
+        template = extractor.extract_file(f)
+        print(f"{f}: extracted in {time.perf_counter() - t0:.2f}s")
+        write_template(out, template, is_latent=False)
+        t = read_template(out, is_latent=False)
+        compress_template(models, t)
+        if codebook is not None and t.texture_template and \
+                t.texture_template[0].des is not None:
+            t.texture_template[0].des = pq_encode(
+                np.asarray(t.texture_template[0].des, np.float32), codebook)
+        write_final_rolled_pq_template(out, t)
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# matching
+# ---------------------------------------------------------------------------
+
+def _load_gallery(engine, gallery_dir: str):
+    from .templates import read_final_template
+    from .templates.packing import pack_gallery
+    files = sorted(glob.glob(os.path.join(gallery_dir, "*.dat")))
+    names = [os.path.splitext(os.path.basename(f))[0] for f in files]
+    templates = [read_final_template(f, kind="rolled") for f in files]
+    packed = pack_gallery(templates, engine.codebook, names=names)
+    return engine.load_gallery(packed)
+
+
+def cmd_match(args) -> int:
+    import jax.numpy as jnp
+    from .matcher.engine import MatchEngine, write_rank_csv, write_score_csv
+    from .templates import read_codebook, read_final_template
+    from .templates.packing import pack_latent
+
+    cfg = _load_config(args.config)
+    codebook_path = args.codebook or cfg.CodebookPath
+    score_dir = args.scores or cfg.ScorePath
+    os.makedirs(score_dir, exist_ok=True)
+
+    engine = MatchEngine(read_codebook(codebook_path),
+                         block_size=cfg.MatchBlockSize,
+                         compute_dtype=jnp.bfloat16
+                         if cfg.ComputeDtype == "bfloat16" else jnp.float32)
+    t0 = time.perf_counter()
+    gallery = _load_gallery(engine, args.gallery)
+    print(f"Gallery size: {gallery.n_real} "
+          f"(loaded in {time.perf_counter() - t0:.2f}s)")
+
+    latent_files = [args.latent] if args.latent else \
+        sorted(glob.glob(os.path.join(args.ldir, "*.dat")))
+    for lf in latent_files:
+        name = os.path.splitext(os.path.basename(lf))[0]
+        t = read_final_template(lf, kind="latent")
+        if not t.minu_template and not t.texture_template:
+            with open(os.path.join(score_dir, name + ".csv"), "w") as f:
+                f.write("0\n")
+            continue
+        packed = pack_latent(t, quantize_tex_xy=False)
+        t0 = time.perf_counter()
+        result = engine.one_to_list(packed, gallery)
+        dt = (time.perf_counter() - t0) * 1000
+        print(f"{name}: matched {gallery.n_real} in {dt:.1f} ms")
+        if args.latent:
+            write_rank_csv(os.path.join(score_dir, name + ".csv"), result)
+            print("Rank     Filename      Score")
+            for r, (n, s) in enumerate(result.ranked(24), 1):
+                print(f"{r:<8} {n:<12} {s:.3f}")
+        else:
+            write_score_csv(os.path.join(score_dir, name + ".csv"), result)
+    return 0
+
+
+# ---------------------------------------------------------------------------
+
+def main(argv: Optional[List[str]] = None) -> int:
+    p = argparse.ArgumentParser(prog="afis",
+                                description="TPU-native latent AFIS")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pl = sub.add_parser("extract-latent")
+    pl.add_argument("--i", help="single input image")
+    pl.add_argument("--idir", help="input image directory")
+    pl.add_argument("--tdir", help="template output directory")
+    pl.add_argument("--config", help="afis.config path")
+    pl.set_defaults(fn=cmd_extract_latent)
+
+    pr = sub.add_parser("extract-rolled")
+    pr.add_argument("--idir", required=True)
+    pr.add_argument("--tdir")
+    pr.add_argument("--N1", type=int, default=0)
+    pr.add_argument("--N2", type=int, default=10 ** 9)
+    pr.add_argument("--config")
+    pr.set_defaults(fn=cmd_extract_rolled)
+
+    pm = sub.add_parser("match")
+    pm.add_argument("-l", "--latent", help="single latent .dat")
+    pm.add_argument("-ldir", "--ldir", help="latent .dat directory")
+    pm.add_argument("-g", "--gallery", required=True)
+    pm.add_argument("-s", "--scores")
+    pm.add_argument("-c", "--codebook")
+    pm.add_argument("--config")
+    pm.set_defaults(fn=cmd_match)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,81 @@
+"""Minutiae detection networks (Flax).
+
+Capability parity with the reference's tensorpack models
+(/root/reference/extraction/minutiae_AEC.py):
+- ``MinutiaeAEC`` — the AEC_Model conv-deconv topology (:228-256): nf=64
+  4x4 stride-2 encoder x6 with tanh bottleneck, deconv decoder x6 to a
+  12-channel orientation-cylinder heatmap with ReLU output;
+- ``MinutiaeUNet`` — the UNet variant (:367-422) with skip connections.
+
+Both are fully convolutional: whole-image inference on any size that is a
+multiple of the downsampling factor (64), matching the reference's
+``run_whole_image`` path (minutiae_AEC.py:76-88). The helper below wraps
+inference + cylinder decoding into minutiae points.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .enhancement import ConvBNRelu, DeconvBNRelu, pad_to_multiple
+
+
+class MinutiaeAEC(nn.Module):
+    """Conv-deconv 12-channel minutiae-cylinder regressor."""
+
+    nf: int = 64
+    num_ori: int = 12
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        nf = self.nf
+        skips = []
+        for mult in [1, 2, 4, 8, 8, 8]:
+            x = ConvBNRelu(nf * mult, dtype=self.dtype)(x, train)
+        x = jnp.tanh(x)  # bottleneck 'feature'
+        for mult in [8, 8, 4, 2, 1]:
+            x = DeconvBNRelu(nf * mult, dtype=self.dtype)(x, train)
+        x = nn.ConvTranspose(self.num_ori, (4, 4), strides=(2, 2),
+                             dtype=self.dtype)(x)
+        return nn.relu(x)
+
+
+class MinutiaeUNet(nn.Module):
+    """U-Net variant with encoder-decoder skip connections."""
+
+    nf: int = 64
+    num_ori: int = 12
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        nf = self.nf
+        enc = []
+        for mult in [1, 2, 4, 8, 8, 8]:
+            x = ConvBNRelu(nf * mult, dtype=self.dtype)(x, train)
+            enc.append(x)
+        for i, mult in enumerate([8, 8, 4, 2, 1]):
+            x = DeconvBNRelu(nf * mult, dtype=self.dtype)(x, train)
+            skip = enc[len(enc) - 2 - i]
+            x = jnp.concatenate([x, skip], axis=-1)
+        x = nn.ConvTranspose(self.num_ori, (4, 4), strides=(2, 2),
+                             dtype=self.dtype)(x)
+        return nn.relu(x)
+
+
+def detect_minutiae_whole_image(apply_fn, variables, img: np.ndarray,
+                                minu_thr: float = 0.2) -> np.ndarray:
+    """Whole-image minutiae detection: x/128-1 normalize, FCN forward, crop,
+    decode + refine + crowding filter (minutiae_AEC.py:76-88)."""
+    from ..ops.minutiae import decode_minutiae
+    x = jnp.asarray(img, jnp.float32) / 128.0 - 1.0
+    x = x[None, :, :, None]
+    x, h, w = pad_to_multiple(x, 64)
+    cyl = apply_fn(variables, x)
+    cyl = np.asarray(cyl[0, :h, :w, :])
+    return decode_minutiae(cyl, thr=minu_thr)

@@ -1,0 +1,163 @@
+"""Latent feature-extraction orchestrator.
+
+Reproduces FeatureExtraction_Latent.feature_extraction_single_latent
+(/root/reference/extraction/extraction_latent.py:69-217):
+
+1. preprocess: cartoon-texture, STFT enhancement, Gaussian contrast
+   normalization -> three STFT variants;
+2. autoencoder enhancement of the STFT texture image; dictionary-based
+   quality/orientation/frequency maps; AEC-quality x SSIM block mask;
+3. five minutiae sets (STFT, contrast-STFT, AEC, Gabor-enhanced contrast,
+   Gabor-enhanced texture) + two consensus sets (votes >= 2, >= 3)
+   -> 7 sets x 4 descriptor images = 28 minutiae templates;
+4. virtual minutiae on a stride-16 grid >= 16 px inside the mask (both ridge
+   directions) -> 1 texture template from the enhanced contrast image.
+
+The stage structure and constants match the reference; the compute runs
+through the JAX ops/models of this package. Timing per stage is recorded in
+``self.timings`` (the reference prints the same three buckets).
+"""
+from __future__ import annotations
+
+import math
+import os
+import time
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..ops import contrast as C
+from ..ops import fft as F
+from ..ops import gabor, maps, minutiae as M, morphology
+from ..templates.data_model import MinuTemplate, Template, TextureTemplate
+from .models_bundle import ModelBundle
+
+BLOCK = 16
+
+
+def adjust_image_size(img: np.ndarray, block_size: int = BLOCK) -> np.ndarray:
+    h, w = img.shape[:2]
+    return img[: (h // block_size) * block_size, : (w // block_size) * block_size]
+
+
+class LatentFeatureExtractor:
+    def __init__(self, models: Optional[ModelBundle] = None, config=None):
+        self.models = models or ModelBundle.initialize(config)
+        self.dict_all, self.dict_ori, self.dict_spacing = \
+            maps.construct_dictionary(ori_num=60)
+        self.timings = {}
+
+    # ------------------------------------------------------------------
+    def extract(self, img: np.ndarray, ppi: int = 500,
+                max_size: int = 1000) -> Optional[Template]:
+        t_start = time.perf_counter()
+        img = np.asarray(img, np.float32)
+        if ppi != 500:
+            import cv2
+            img = cv2.resize(img, (0, 0), fx=500.0 / ppi, fy=500.0 / ppi)
+        img = adjust_image_size(img)
+        h, w = img.shape
+        if h > max_size and w > max_size:
+            return None
+
+        # --- preprocessing variants
+        texture_img = np.asarray(F.fast_cartoon_texture(img))
+        stft_texture = np.asarray(F.stft_enhance(texture_img))
+        contrast_img = np.asarray(C.local_contrast_enhancement_gaussian(img))
+        stft_img = np.asarray(F.stft_enhance(img))
+        contrast_stft = np.asarray(F.stft_enhance(contrast_img))
+
+        # --- AEC enhancement + maps + mask
+        aec_img = self.models.enhance(stft_texture)
+        quality, dir_map, fre_map = maps.get_quality_map_dict(
+            aec_img, self.dict_all, self.dict_ori, self.dict_spacing)
+        quality = np.asarray(quality)
+        dir_map = np.asarray(dir_map)
+        fre_map = np.asarray(fre_map)
+        blk_aec = (quality > 0.45)
+        blk_aec = morphology.binary_closing(blk_aec, np.ones((3, 3), bool))
+        blk_aec = morphology.binary_opening(blk_aec, np.ones((3, 3), bool))
+        blk_ssim = maps.ssim_mask(stft_texture, aec_img, thr=0.2)
+        blkmask = blk_ssim * blk_aec.astype(np.int32)
+        blkH, blkW = blkmask.shape
+        import cv2
+        mask = cv2.resize(blkmask.astype(float), (BLOCK * blkW, BLOCK * blkH),
+                          interpolation=cv2.INTER_LINEAR)
+        mask = (mask > 0).astype(np.float64)
+
+        # --- minutiae sets
+        minutiae_sets: List[np.ndarray] = []
+        minutiae_sets.append(self.models.detect_minutiae(0, stft_img, 0.05))
+        minutiae_sets.append(self.models.detect_minutiae(0, contrast_stft, 0.10))
+        mnt_aec = self.models.detect_minutiae(1, aec_img, 0.25)
+        mnt_aec = M.remove_spurious_minutiae(mnt_aec, mask)
+        minutiae_sets.append(mnt_aec)
+
+        enh_contrast = gabor.gabor_filtering_pixel2(
+            contrast_img, dir_map + math.pi / 2, fre_map,
+            mask=np.ones((h, w), np.uint8))
+        mnt_contrast = self.models.detect_minutiae(1, enh_contrast, 0.25)
+        mnt_contrast = M.remove_spurious_minutiae(mnt_contrast, mask)
+        minutiae_sets.append(mnt_contrast)
+
+        enh_texture = gabor.gabor_filtering_pixel2(
+            texture_img, dir_map + math.pi / 2, fre_map,
+            mask=np.ones((h, w), np.uint8))
+        mnt_texture = self.models.detect_minutiae(1, enh_texture, 0.25)
+        mnt_texture = M.remove_spurious_minutiae(mnt_texture, mask)
+        minutiae_sets.append(mnt_texture)
+
+        mnt2 = M.get_common_minutiae(minutiae_sets, thr=2)
+        mnt3 = M.get_common_minutiae(minutiae_sets, thr=3)
+        minutiae_sets.append(mnt3)
+        minutiae_sets.append(mnt2)
+        self.timings["minutiae"] = time.perf_counter() - t_start
+
+        # --- 7 sets x 4 descriptor images = 28 minutiae templates
+        t0 = time.perf_counter()
+        descriptor_imgs = [stft_img, texture_img, enh_texture, enh_contrast]
+        template = Template()
+        for mnt in minutiae_sets:
+            for des_img in descriptor_imgs:
+                des = self.models.describe(des_img, mnt)
+                template.add_minu_template(MinuTemplate(
+                    h=h, w=w, blkH=blkH, blkW=blkW,
+                    minutiae=np.asarray(mnt).reshape(-1, 4) if len(mnt) else np.zeros((0, 4)),
+                    des=des, oimg=dir_map.copy(), mask=mask))
+        self.timings["descriptors"] = time.perf_counter() - t0
+
+        # --- texture template from virtual minutiae
+        t0 = time.perf_counter()
+        virtual = self._virtual_minutiae(mask, dir_map, h, w)
+        if len(virtual) > 3:
+            vdes = self.models.describe(enh_contrast, virtual)
+            template.add_texture_template(TextureTemplate(
+                h=h, w=w, minutiae=virtual, des=vdes))
+        self.timings["texture"] = time.perf_counter() - t0
+        return template
+
+    @staticmethod
+    def _virtual_minutiae(mask: np.ndarray, dir_map: np.ndarray, h: int,
+                          w: int, stride: int = 16, min_dist: float = 16.0,
+                          both_directions: bool = True) -> np.ndarray:
+        """Grid virtual minutiae >= min_dist inside the mask, oriented by
+        -dir_map, one per ridge direction (extraction_latent.py:186-203)."""
+        dist = morphology.distance_transform_edt(mask)
+        out = []
+        for y in range(24, h - 24, stride):
+            for x in range(24, w - 24, stride):
+                if dist[y][x] <= min_dist:
+                    continue
+                ori = -dir_map[y // 16][x // 16]
+                out.append([x, y, ori])
+                if both_directions:
+                    out.append([x, y, math.pi + ori])
+        return np.asarray(out, np.float64)
+
+    # ------------------------------------------------------------------
+    def extract_file(self, img_file: str, ppi: int = 500) -> Optional[Template]:
+        import imageio.v2 as imageio
+        img = np.asarray(imageio.imread(img_file))
+        if img.ndim == 3:
+            img = img @ np.array([0.299, 0.587, 0.114])
+        return self.extract(img, ppi=ppi)

@@ -1,0 +1,141 @@
+"""Model bundle: loads / initializes all networks the pipelines need.
+
+Mirrors the model set the reference loads at startup
+(/root/reference/extraction/extraction_latent.py:34-67): two minutiae
+models, three patch-type descriptor models, one enhancement model, plus the
+DR CompNet. Checkpoints are Orbax directories; absent checkpoints fall back
+to randomly-initialized stand-ins (the reference's pretrained weights are
+external downloads that do not ship with the repo).
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import (CompNet, DescriptorNet, EnhancementAEC, MinutiaeAEC)
+
+
+def _try_restore(path: Optional[str], target):
+    if not path or not os.path.isdir(path):
+        return target
+    try:
+        import orbax.checkpoint as ocp
+        ckptr = ocp.StandardCheckpointer()
+        return ckptr.restore(os.path.abspath(path), target)
+    except Exception:
+        return target
+
+
+def save_checkpoint(path: str, variables) -> None:
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), variables, force=True)
+    ckptr.wait_until_finished()
+
+
+@dataclasses.dataclass
+class ModelBundle:
+    """All inference models + jitted apply fns."""
+
+    enhancement: Any
+    enhancement_vars: Any
+    minutiae: List[Any]            # [latent-STFT model, main model]
+    minutiae_vars: List[Any]
+    descriptors: List[Any]         # one per patch type
+    descriptor_vars: List[Any]
+    patch_types: Sequence[int]
+    compnet: Any
+    compnet_vars: Any
+
+    @classmethod
+    def initialize(cls, config=None, patch_types: Sequence[int] = (2, 8, 11),
+                   seed: int = 0) -> "ModelBundle":
+        rng = jax.random.PRNGKey(seed)
+        img = jnp.zeros((1, 128, 128, 1), jnp.float32)
+        patch = jnp.zeros((1, 96, 96, 1), jnp.float32)
+        feat = jnp.zeros((1, 192), jnp.float32)
+
+        enh = EnhancementAEC()
+        enh_vars = enh.init(rng, img, train=False)
+        minu = [MinutiaeAEC(), MinutiaeAEC()]
+        minu_vars = [m.init(rng, img, train=False) for m in minu]
+        des = [DescriptorNet() for _ in patch_types]
+        des_vars = [m.init(rng, patch, train=False) for m in des]
+        comp = CompNet()
+        comp_vars = comp.init(rng, feat, train=False)
+
+        if config is not None:
+            enh_vars = _try_restore(config.EnhancementModel, enh_vars)
+            minu_vars[0] = _try_restore(config.MinutiaeExtractionModelLatentSTFT,
+                                        minu_vars[0])
+            minu_vars[1] = _try_restore(config.MinutiaeExtractionModel,
+                                        minu_vars[1])
+            for i, pt in enumerate(patch_types):
+                key = f"DescriptorModelPatch{pt}"
+                des_vars[i] = _try_restore(getattr(config, key, None), des_vars[i])
+            comp_vars = _try_restore(config.DimensionalityReductionModel, comp_vars)
+
+        return cls(enhancement=enh, enhancement_vars=enh_vars,
+                   minutiae=minu, minutiae_vars=minu_vars,
+                   descriptors=des, descriptor_vars=des_vars,
+                   patch_types=tuple(patch_types),
+                   compnet=comp, compnet_vars=comp_vars)
+
+    # jitted apply closures (cached per bundle)
+    def __post_init__(self):
+        self._enh_apply = jax.jit(
+            lambda v, x: self.enhancement.apply(v, x, train=False))
+        self._minu_apply = [
+            jax.jit(lambda v, x, m=m: m.apply(v, x, train=False))
+            for m in self.minutiae]
+        self._des_apply = [
+            jax.jit(lambda v, x, m=m: m.apply(v, x, train=False))
+            for m in self.descriptors]
+        self._comp_apply = jax.jit(
+            lambda v, x: self.compnet.apply(v, x, train=False))
+
+    # ------------------------------------------------------------------
+    def enhance(self, img: np.ndarray) -> np.ndarray:
+        from ..models.enhancement import enhance_whole_image
+        return enhance_whole_image(self._enh_apply, self.enhancement_vars, img)
+
+    def detect_minutiae(self, model_idx: int, img: np.ndarray,
+                        minu_thr: float = 0.2) -> np.ndarray:
+        from ..models.minutiae_net import detect_minutiae_whole_image
+        return detect_minutiae_whole_image(self._minu_apply[model_idx],
+                                           self.minutiae_vars[model_idx],
+                                           img, minu_thr=minu_thr)
+
+    def describe(self, img: np.ndarray, minutiae: np.ndarray,
+                 batch_size: int = 128, patch_size: int = 96) -> List[np.ndarray]:
+        """Per-patch-type L2-normalized embeddings
+        (descriptor.minutiae_descriptor_extraction semantics)."""
+        from ..ops.patches import extract_patches
+        out = []
+        if len(minutiae) == 0:
+            return out
+        for k, pt in enumerate(self.patch_types):
+            patches = np.asarray(extract_patches(minutiae, img, patch_type=pt,
+                                                 patch_size=patch_size))
+            x = patches[:, :, :, None].astype(np.float32)
+            n = len(x)
+            pad = (-n) % batch_size
+            if pad:
+                x = np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)])
+            embs = []
+            for i in range(0, len(x), batch_size):
+                embs.append(np.asarray(self._des_apply[k](
+                    self.descriptor_vars[k], jnp.asarray(x[i:i + batch_size]))))
+            emb = np.concatenate(embs)[:n]
+            emb = emb / (np.linalg.norm(emb, axis=1, keepdims=True) + 1e-7)
+            out.append(emb.astype(np.float32))
+        return out
+
+    def compress(self, des: np.ndarray) -> np.ndarray:
+        from ..models.compnet import compress_descriptors
+        return compress_descriptors(self._comp_apply, self.compnet_vars, des)

@@ -1,0 +1,95 @@
+"""Rolled (gallery) feature-extraction orchestrator.
+
+Reproduces FeatureExtraction_Rolled.feature_extraction_single_rolled
+(/root/reference/extraction/extraction_rolled.py:70-144): intensity-based
+segmentation mask, contrast + cartoon-texture preprocessing, one minutiae
+set from the texture image (thr 0.15), descriptors from the raw image,
+STFT orientation map, one minutiae template + one texture template with
+<= 1000 single-direction virtual minutiae (>= 24 px inside the mask)
+described from the contrast image.
+"""
+from __future__ import annotations
+
+import math
+import time
+from typing import Optional
+
+import numpy as np
+
+from ..ops import contrast as C
+from ..ops import fft as F
+from ..ops import maps, minutiae as M, morphology
+from ..templates.data_model import MinuTemplate, Template, TextureTemplate
+from .latent import adjust_image_size
+from .models_bundle import ModelBundle
+
+BLOCK = 16
+
+
+class RolledFeatureExtractor:
+    def __init__(self, models: Optional[ModelBundle] = None, config=None):
+        self.models = models or ModelBundle.initialize(config)
+        self.timings = {}
+
+    def extract(self, img: np.ndarray, ppi: int = 500) -> Optional[Template]:
+        img = np.asarray(img, np.float32)
+        if ppi != 500:
+            import cv2
+            img = cv2.resize(img, (0, 0), fx=500.0 / ppi, fy=500.0 / ppi)
+        img = adjust_image_size(img)
+        h, w = img.shape
+
+        t0 = time.perf_counter()
+        mask = maps.get_quality_map_intensity(img)
+        self.timings["cropping"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        contrast_img = np.asarray(C.local_contrast_enhancement(img))
+        texture_img = np.asarray(F.fast_cartoon_texture(img))
+        mnt = self.models.detect_minutiae(1, texture_img, 0.15)
+        mnt = M.remove_spurious_minutiae(mnt, mask, r=5)
+        self.timings["minutiae"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        des = self.models.describe(img, mnt, batch_size=256)
+        self.timings["descriptors"] = time.perf_counter() - t0
+
+        dir_map, _ = maps.get_maps_stft(
+            np.asarray(F.fast_cartoon_texture(img)))
+        dir_map = np.asarray(dir_map)
+
+        blkH, blkW = h // BLOCK, w // BLOCK
+        template = Template()
+        template.add_minu_template(MinuTemplate(
+            h=h, w=w, blkH=blkH, blkW=blkW,
+            minutiae=np.asarray(mnt).reshape(-1, 4) if len(mnt) else np.zeros((0, 4)),
+            des=des, oimg=dir_map[:blkH, :blkW].copy(), mask=mask))
+
+        t0 = time.perf_counter()
+        virtual = self._virtual_minutiae(mask, dir_map, h, w)
+        if len(virtual) > 3:
+            vdes = self.models.describe(contrast_img, virtual, batch_size=128)
+            template.add_texture_template(TextureTemplate(
+                h=h, w=w, minutiae=virtual, des=vdes, mask=mask))
+        self.timings["texture"] = time.perf_counter() - t0
+        return template
+
+    @staticmethod
+    def _virtual_minutiae(mask, dir_map, h, w, stride: int = 16,
+                          min_dist: float = 24.0, cap: int = 1000) -> np.ndarray:
+        dist = morphology.distance_transform_edt(mask)
+        out = []
+        for y in range(24, h - 24, stride):
+            for x in range(24, w - 24, stride):
+                if dist[y][x] <= min_dist:
+                    continue
+                out.append([x, y, -dir_map[y // 16][x // 16]])
+        out = np.asarray(out, np.float64)
+        return out[:cap]
+
+    def extract_file(self, img_file: str, ppi: int = 500) -> Optional[Template]:
+        import imageio.v2 as imageio
+        img = np.asarray(imageio.imread(img_file))
+        if img.ndim == 3:
+            img = img @ np.array([0.299, 0.587, 0.114])
+        return self.extract(img, ppi=ppi)

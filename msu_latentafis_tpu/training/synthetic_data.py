@@ -1,0 +1,107 @@
+"""Synthetic fingerprint generation for stand-in model training.
+
+The reference's pretrained weights are external downloads that do not ship
+with the repo, so the rebuild trains stand-in models on synthetic ridge
+imagery: smooth random orientation fields rendered through the ridge-wave
+dictionary prior (the same generator used for quality maps —
+/root/reference/extraction/get_maps.py:255-299 doubles as a fingerprint
+prior), with synthetic minutiae inserted as local ridge terminations and
+their ground-truth 12-channel cylinders from ops.cylinder.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+from ..ops.cylinder import make_cylinder_target
+
+
+def random_orientation_field(rng: np.random.Generator, blkH: int, blkW: int,
+                             smooth: int = 3) -> np.ndarray:
+    """Smooth random orientation field in radians via doubled-angle
+    Gaussian-smoothed noise."""
+    c = rng.standard_normal((blkH, blkW))
+    s = rng.standard_normal((blkH, blkW))
+    from scipy.ndimage import gaussian_filter
+    c = gaussian_filter(c, smooth)
+    s = gaussian_filter(s, smooth)
+    return np.arctan2(s, c) * 0.5
+
+
+def render_ridge_image(rng: np.random.Generator, h: int = 512, w: int = 512,
+                       spacing: float = 9.0, block: int = 16) -> Tuple[np.ndarray, np.ndarray]:
+    """Render a ridge-wave image from a random orientation field.
+
+    Returns (image [h, w] float in [0, 255], ori_field [h//block, w//block]).
+    """
+    blkH, blkW = h // block, w // block
+    ori = random_orientation_field(rng, blkH, blkW)
+    from scipy.ndimage import zoom
+    c = zoom(np.cos(2 * ori), block, order=1)[:h, :w]
+    s = zoom(np.sin(2 * ori), block, order=1)[:h, :w]
+    theta = np.arctan2(s, c) * 0.5
+
+    # integrate a phase field along the local normal direction:
+    # approximate with projection onto the (slowly varying) local normal
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    phase = (xx * np.cos(theta + np.pi / 2) + yy * np.sin(theta + np.pi / 2))
+    phase *= 2 * np.pi / spacing
+    img = np.cos(phase)
+    img = (img * 0.5 + 0.5) * 255.0
+    noise = rng.standard_normal((h, w)) * 12.0
+    return np.clip(img + noise, 0, 255), theta
+
+
+def synthetic_minutiae_sample(rng: np.random.Generator, size: int = 128,
+                              n_minutiae: int = 8, num_ori: int = 12):
+    """(image [size,size,1] raw units, cylinder target [size,size,12]).
+
+    Minutiae are synthesized as ridge-phase dislocations: a spiral phase
+    term around each minutia point creates a genuine ridge ending at that
+    location with the chosen orientation.
+    """
+    img, theta = render_ridge_image(rng, size, size,
+                                    spacing=float(rng.uniform(7, 11)))
+    minutiae = np.zeros((n_minutiae, 4), np.float64)
+    minutiae[:, 0] = rng.uniform(12, size - 12, n_minutiae)
+    minutiae[:, 1] = rng.uniform(12, size - 12, n_minutiae)
+    # orientation from the local ridge flow (+pi flip at random)
+    for i in range(n_minutiae):
+        t = theta[int(minutiae[i, 1]), int(minutiae[i, 0])]
+        minutiae[i, 2] = (-t + (np.pi if rng.random() < 0.5 else 0.0)) % (2 * np.pi)
+    # carve ridge endings: damp the ridge wave locally past each minutia
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float64)
+    for x, y, o, _ in minutiae:
+        d2 = (xx - x) ** 2 + (yy - y) ** 2
+        along = (xx - x) * np.cos(-o) + (yy - y) * np.sin(-o)
+        wedge = (along > 0) & (d2 < 15 ** 2)
+        img[wedge] = 0.5 * img[wedge] + 0.5 * 200.0
+    cyl = make_cylinder_target(minutiae, size, size, num_ori=num_ori,
+                               max_minutiae=max(8, n_minutiae))
+    return img[:, :, None].astype(np.float32), cyl.astype(np.float32) , minutiae
+
+
+def synthetic_enhancement_sample(rng: np.random.Generator, size: int = 128):
+    """(clean ridge image [size,size,1] raw, same as target) — the
+    degradation augment corrupts the input side at train time."""
+    img, _ = render_ridge_image(rng, size, size,
+                                spacing=float(rng.uniform(7, 11)))
+    x = img[:, :, None].astype(np.float32)
+    return x, (x / 128.0 - 1.0)
+
+
+def synthetic_descriptor_batch(rng: np.random.Generator, n_ids: int = 16,
+                               samples_per_id: int = 4, size: int = 96):
+    """Labeled patch batch for triplet training: each identity is a ridge
+    patch; same-id samples differ by noise/brightness jitter."""
+    xs, ys = [], []
+    for label in range(n_ids):
+        base, _ = render_ridge_image(rng, size, size,
+                                     spacing=float(rng.uniform(7, 11)))
+        for _ in range(samples_per_id):
+            j = base + rng.standard_normal(base.shape) * 10 + rng.uniform(-15, 15)
+            xs.append(np.clip(j, 0, 255)[:, :, None])
+            ys.append(label)
+    x = np.stack(xs).astype(np.float32) / 128.0 - 1.0
+    return x, np.asarray(ys, np.int32)

@@ -96,6 +96,46 @@ def make_rolled_template(rng: np.random.Generator, n_minu: int = 60,
     return t
 
 
+def synthetic_packed_gallery(rng: np.random.Generator, codebook: np.ndarray,
+                             G: int, n_minu: int = 96, n_tex: int = 448,
+                             des_dim: int = 96):
+    """Directly build a PackedGallery of G synthetic rolled templates with
+    vectorized NumPy (no per-template Python objects) — used for large-scale
+    benchmarking. Counts are jittered +/-25% per entry."""
+    from ..templates.packing import PackedGallery
+    n_subs, n_clusters, sub_dim = codebook.shape
+    Rm = n_minu
+    Rt = n_tex
+
+    minu_des = rng.standard_normal((G, Rm, des_dim), dtype=np.float32)
+    minu_des /= np.linalg.norm(minu_des, axis=2, keepdims=True) + 1e-7
+    minu_des *= DES_NORM
+    minu_n = rng.integers(int(0.75 * Rm), Rm + 1, G).astype(np.int32)
+    row = np.arange(Rm)[None, :]
+    mmask = row < minu_n[:, None]
+    minu_des *= mmask[:, :, None]
+    minu_xy = rng.integers(24, 488, (G, Rm, 2)).astype(np.float32) * mmask[:, :, None]
+    minu_ori = rng.uniform(-np.pi, np.pi, (G, Rm)).astype(np.float32) * mmask
+
+    tex_codes = rng.integers(0, n_clusters, (G, Rt, n_subs)).astype(np.uint8)
+    tex_n = rng.integers(int(0.75 * Rt), Rt + 1, G).astype(np.int32)
+    trow = np.arange(Rt)[None, :]
+    tmask = trow < tex_n[:, None]
+    tex_codes *= tmask[:, :, None]
+    cw_sqnorm = np.sum(codebook.astype(np.float64) ** 2, axis=2).astype(np.float32)
+    sub_ids = np.arange(n_subs)
+    tex_sqnorm = cw_sqnorm[sub_ids[None, None, :],
+                           tex_codes.astype(np.int64)].sum(axis=2) * tmask
+    tex_xy = rng.integers(0, 30, (G, Rt, 2)).astype(np.float32) * tmask[:, :, None]
+    tex_ori = rng.uniform(-np.pi, np.pi, (G, Rt)).astype(np.float32) * tmask
+
+    return PackedGallery(minu_des=minu_des, minu_xy=minu_xy, minu_ori=minu_ori,
+                         minu_n=minu_n, tex_codes=tex_codes,
+                         tex_sqnorm=tex_sqnorm.astype(np.float32),
+                         tex_xy=tex_xy, tex_ori=tex_ori, tex_n=tex_n,
+                         names=[str(i) for i in range(G)])
+
+
 def make_latent_template(rng: np.random.Generator, n_minu: int = 30,
                          n_tex: int = 200, des_dim: int = 96,
                          n_minu_templates: int = 28, h: int = 512,
