@@ -17,8 +17,10 @@ import time
 import numpy as np
 
 G = int(os.environ.get("BENCH_GALLERY", "100000"))
-N_LATENTS = int(os.environ.get("BENCH_LATENTS", "4"))
-BLOCK = int(os.environ.get("BENCH_BLOCK", "512"))
+N_LATENTS = int(os.environ.get("BENCH_LATENTS", "8"))
+# block sized so the [NL, B, Lt, Rt] similarity transient stays ~<1 GB
+BLOCK = int(os.environ.get("BENCH_BLOCK", "0")) or max(
+    64, 1 << (30 - (448 * 448 * 4 * max(1, int(os.environ.get("BENCH_LATENTS", "8")))).bit_length()))
 RM, RT, LM, LT, D = 96, 448, 64, 448, 96
 
 REPO = os.path.dirname(os.path.abspath(__file__))
@@ -46,56 +48,75 @@ def main():
     from msu_latentafis_tpu.utils.synthetic import make_latent_template
 
     cb = read_codebook(CODEBOOK)
-    engine = MatchEngine(cb, block_size=BLOCK, compute_dtype=jnp.bfloat16)
+    engine = MatchEngine(cb, block_size=BLOCK, compute_dtype=jnp.bfloat16,
+                     tex_int8=os.environ.get("BENCH_TEX_INT8", "1") == "1")
 
-    # device-side synthetic gallery (host gen + transfer would dominate)
+    # device-side synthetic gallery in the engine's device layout
+    # (transposed descriptors, split x/y planes, pre-decoded textures),
+    # generated chunkwise to bound transients
     Gpad = ((G + BLOCK - 1) // BLOCK) * BLOCK
-    key = jax.random.PRNGKey(0)
-    ks = jax.random.split(key, 8)
+    chunk = 4096
+    nchunks = (Gpad + chunk - 1) // chunk
+    Gpad = nchunks * chunk
 
-    @jax.jit
-    def gen_gallery():
-        minu_des = jax.random.normal(ks[0], (Gpad, RM, D), jnp.bfloat16)
-        norm = jnp.sqrt(jnp.sum(minu_des.astype(jnp.float32) ** 2, -1,
+    def gen_chunk(key):
+        ks = jax.random.split(key, 8)
+        minu_des = jax.random.normal(ks[0], (chunk, D, RM), jnp.bfloat16)
+        norm = jnp.sqrt(jnp.sum(minu_des.astype(jnp.float32) ** 2, 1,
                                 keepdims=True)) + 1e-6
         minu_des = (minu_des / norm * 1.73).astype(jnp.bfloat16)
-        minu_n = jax.random.randint(ks[1], (Gpad,), int(0.75 * RM), RM + 1)
-        minu_xy = jax.random.uniform(ks[2], (Gpad, RM, 2), jnp.float32, 24, 488)
-        minu_ori = jax.random.uniform(ks[3], (Gpad, RM), jnp.float32,
-                                      -np.pi, np.pi)
-        codes = jax.random.randint(ks[4], (Gpad, RT, 16), 0, 256, jnp.int32)
-        cwsq = jnp.sum(jnp.asarray(cb) ** 2, axis=2)          # [16, 256]
-        flat = codes + jnp.arange(16) * 256
-        tex_sqnorm = jnp.sum(jnp.take(cwsq.reshape(-1), flat), axis=2)
-        tex_n = jax.random.randint(ks[5], (Gpad,), int(0.75 * RT), RT + 1)
-        tex_xy = jnp.floor(jax.random.uniform(ks[6], (Gpad, RT, 2),
-                                              jnp.float32, 0, 30))
-        tex_ori = jax.random.uniform(ks[7], (Gpad, RT), jnp.float32,
-                                     -np.pi, np.pi)
-        return dict(minu_des=minu_des, minu_xy=minu_xy, minu_ori=minu_ori,
-                    minu_n=minu_n.astype(jnp.int32),
-                    tex_codes=codes.astype(jnp.uint8),
-                    tex_sqnorm=tex_sqnorm.astype(jnp.float32),
-                    tex_xy=tex_xy, tex_ori=tex_ori,
-                    tex_n=tex_n.astype(jnp.int32))
+        codes = jax.random.randint(ks[1], (chunk, RT, 16), 0, 256,
+                                   jnp.int32).astype(jnp.uint8)
+        dec = engine._decode(codes)                       # [chunk, RT, D]
+        tex_sqnorm = jnp.sum(dec.astype(jnp.float32) ** 2, axis=-1)
+        if engine.tex_int8:
+            dec = jnp.clip(jnp.round(dec.astype(jnp.float32)
+                                     / engine._tex_scale_g),
+                           -127, 127).astype(jnp.int8)
+        dec_t = jnp.swapaxes(dec, 1, 2)                   # [chunk, D, RT]
+        return dict(
+            minu_des=minu_des,
+            minu_x=jax.random.uniform(ks[2], (chunk, RM), jnp.float32, 24, 488),
+            minu_y=jax.random.uniform(ks[3], (chunk, RM), jnp.float32, 24, 488),
+            minu_ori=jax.random.uniform(ks[4], (chunk, RM), jnp.float32,
+                                        -np.pi, np.pi),
+            minu_n=jnp.full((chunk,), RM, jnp.int32),
+            tex_dec=dec_t, tex_sqnorm=tex_sqnorm,
+            tex_x=jnp.floor(jax.random.uniform(ks[5], (chunk, RT), jnp.float32, 0, 30)),
+            tex_y=jnp.floor(jax.random.uniform(ks[6], (chunk, RT), jnp.float32, 0, 30)),
+            tex_ori=jax.random.uniform(ks[7], (chunk, RT), jnp.float32,
+                                       -np.pi, np.pi),
+            tex_n=jnp.full((chunk,), RT, jnp.int32),
+        )
 
-    g = gen_gallery()
+    keys = jax.random.split(jax.random.PRNGKey(0), nchunks)
+
+    @jax.jit
+    def gen_all(keys):
+        out = jax.lax.map(gen_chunk, keys)
+        # merge (nchunks, chunk) -> flat gallery axis (leading-dim merge is
+        # layout-free; no relayout copy)
+        return {k: v.reshape((Gpad,) + v.shape[2:]) for k, v in out.items()}
+
+    g = gen_all(keys)
     jax.block_until_ready(g["minu_des"])
-    gallery = DeviceGallery(names=[str(i) for i in range(G)], n_real=G, **g)
+    gallery = DeviceGallery(names=[str(i) for i in range(G)], n_real=G,
+                            tex_codes=None, **g)
 
     rng = np.random.default_rng(7)
-    latents = [pack_latent(make_latent_template(rng, n_minu=LM, n_tex=LT),
-                           quantize_tex_xy=False, minu_cap=LM, tex_cap=LT)
-               for _ in range(N_LATENTS)]
+    n_rounds = 2
+    batches = [[pack_latent(make_latent_template(rng, n_minu=LM, n_tex=LT),
+                            quantize_tex_xy=False, minu_cap=LM, tex_cap=LT)
+                for _ in range(N_LATENTS)] for _ in range(n_rounds)]
 
     # warmup / compile
-    jax.block_until_ready(engine.match_scores(latents[0], gallery))
+    jax.block_until_ready(engine.match_scores_batch(batches[0], gallery))
 
     t0 = time.time()
-    for lat in latents:
-        jax.block_until_ready(engine.match_scores(lat, gallery))
+    for batch in batches:
+        jax.block_until_ready(engine.match_scores_batch(batch, gallery))
     dt = time.time() - t0
-    latents_per_s = N_LATENTS / dt
+    latents_per_s = n_rounds * N_LATENTS / dt
 
     try:
         cpu_pairs = cpu_baseline_pairs_per_s()

@@ -31,23 +31,41 @@ import numpy as np
 from ..templates.data_model import MatcherConstants as MC
 from ..templates.packing import PackedGallery, PackedLatent
 from .minutiae_match import minutiae_match_single
-from .texture_match import decode_pq, texture_similarity, texture_match_from_simi
+from .texture_match import (block_diag_codebook, decode_pq, decode_pq_matmul,
+                            texture_similarity, texture_match_from_simi)
 
 
 @dataclasses.dataclass
 class DeviceGallery:
-    """A PackedGallery resident on device (or as sharded global arrays)."""
-    minu_des: jax.Array
-    minu_xy: jax.Array
+    """A PackedGallery resident on device (or as sharded global arrays).
+
+    Device layouts are chosen for TPU tiling (last dim = lane, padded to
+    128; second-to-last = sublane, padded to 8):
+    - descriptors are TRANSPOSED to [G, D, R] so the large minutiae axis is
+      the lane dimension (a trailing D=96 would pad to 128);
+    - coordinates are split into separate x / y planes [G, R] (a trailing
+      2 would pad to 128, a 64x inflation);
+    - PQ codes are stored FLAT [G, Rt*S] (a trailing S=16 would pad 8x).
+
+    Texture descriptors live either as flat uint8 PQ codes (``tex_codes``,
+    decoded on the fly per block — minimal HBM, for very large galleries)
+    or pre-decoded reconstructions ``tex_dec`` [G, D, Rt] (removes the
+    per-latent decode cost entirely).
+    """
+    minu_des: jax.Array              # [G, D, Rm] transposed
+    minu_x: jax.Array                # [G, Rm]
+    minu_y: jax.Array
     minu_ori: jax.Array
     minu_n: jax.Array
-    tex_codes: jax.Array
-    tex_sqnorm: jax.Array
-    tex_xy: jax.Array
+    tex_sqnorm: jax.Array            # [G, Rt]
+    tex_x: jax.Array
+    tex_y: jax.Array
     tex_ori: jax.Array
     tex_n: jax.Array
     names: List[str]
     n_real: int                      # entries before block padding
+    tex_codes: Optional[jax.Array] = None   # [G, Rt*S] uint8 flat
+    tex_dec: Optional[jax.Array] = None     # [G, D, Rt] transposed
 
     @property
     def size(self) -> int:
@@ -82,16 +100,39 @@ class MatchEngine:
         bfloat16 for peak MXU throughput.
     """
 
+    # Pre-decode whenever the texture reconstructions fit the HBM budget:
+    # the on-the-fly one-hot decode materializes a ~0.5 GB one-hot per block
+    # (XLA does not fuse it into the dot) and is ~300x slower per scan. Past
+    # the budget the codes-resident path still works, just slower — a Pallas
+    # in-VMEM decode kernel is the planned fix for >9 GB galleries.
+    PREDECODE_BUDGET_BYTES = 9_000_000_000
+
     def __init__(self, codebook: np.ndarray, block_size: int = 64,
-                 compute_dtype=jnp.float32):
+                 compute_dtype=jnp.float32,
+                 predecode: Optional[bool] = None,
+                 tex_int8: bool = False):
         codebook = np.asarray(codebook, np.float32)
         self.codebook = codebook
         self.n_subs, self.n_clusters, self.sub_dim = codebook.shape
+        # int8 texture mode: decoded gallery values are exact codebook
+        # entries, so a single global scale bounds them tightly
+        self.tex_int8 = bool(tex_int8)
+        self._tex_scale_g = float(np.abs(codebook).max()) / 127.0 + 1e-12
         self._codebook_flat = jnp.asarray(
             codebook.reshape(self.n_subs * self.n_clusters, self.sub_dim))
+        self._decode_tensor = block_diag_codebook(codebook,
+                                                  dtype=compute_dtype)
         self.block_size = int(block_size)
         self.compute_dtype = compute_dtype
+        self.predecode = predecode
         self._match_fn = jax.jit(self._match_all)
+        # Batched-latents variant: vmap over the latent axis. The gallery
+        # (and the per-block PQ decode, which is latent-independent) is
+        # shared across the batch — XLA hoists it out of the vmapped body —
+        # so batching amortizes every per-block fixed cost and feeds the
+        # MXU larger matmuls.
+        self._match_batch_fn = jax.jit(jax.vmap(self._match_all,
+                                                in_axes=(0, None)))
 
     # ------------------------------------------------------------------
     def load_gallery(self, packed: PackedGallery,
@@ -110,19 +151,72 @@ class MatchEngine:
 
         dtype = self.compute_dtype
         put = functools.partial(jax.device_put, device=device)
-        return DeviceGallery(
-            minu_des=put(pad(packed.minu_des).astype(dtype)),
-            minu_xy=put(pad(packed.minu_xy)),
+        Gp, Rt, S = pad(packed.tex_codes).shape[0], packed.tex_codes.shape[1], \
+            packed.tex_codes.shape[2]
+        gal = DeviceGallery(
+            minu_des=put(np.swapaxes(pad(packed.minu_des), 1, 2).astype(dtype)),
+            minu_x=put(pad(packed.minu_xy)[:, :, 0].copy()),
+            minu_y=put(pad(packed.minu_xy)[:, :, 1].copy()),
             minu_ori=put(pad(packed.minu_ori)),
             minu_n=put(pad(packed.minu_n)),
-            tex_codes=put(pad(packed.tex_codes)),
+            tex_codes=put(pad(packed.tex_codes).reshape(Gp, Rt * S)),
             tex_sqnorm=put(pad(packed.tex_sqnorm)),
-            tex_xy=put(pad(packed.tex_xy)),
+            tex_x=put(pad(packed.tex_xy)[:, :, 0].copy()),
+            tex_y=put(pad(packed.tex_xy)[:, :, 1].copy()),
             tex_ori=put(pad(packed.tex_ori)),
             tex_n=put(pad(packed.tex_n)),
             names=list(packed.names),
             n_real=G0,
         )
+        return self.maybe_predecode(gal, n_subs=S)
+
+    def _decode(self, codes: jnp.ndarray) -> jnp.ndarray:
+        """Backend-appropriate decode: MXU one-hot matmul on TPU, row
+        gather elsewhere."""
+        if jax.default_backend() == "cpu":
+            return decode_pq(codes, self._codebook_flat, self.n_clusters,
+                             dtype=self.compute_dtype)
+        return decode_pq_matmul(codes, self._decode_tensor)
+
+    def maybe_predecode(self, gal: DeviceGallery,
+                        n_subs: Optional[int] = None) -> DeviceGallery:
+        """Decode the texture gallery to the compute dtype on device when
+        the HBM budget allows; the per-latent decode cost disappears from
+        the match step. Output is the transposed [G, D, Rt] layout."""
+        if gal.tex_codes is None:
+            return gal
+        S = n_subs or self.n_subs
+        G, flat = gal.tex_codes.shape
+        Rt = flat // S
+        D = S * self.sub_dim
+        nbytes = G * Rt * D * (1 if self.tex_int8 else 2)
+        do = self.predecode if self.predecode is not None \
+            else nbytes < self.PREDECODE_BUDGET_BYTES
+        if not do:
+            return gal
+
+        chunk = max(1, min(G, (1 << 27) // max(Rt * D, 1)))
+        nchunks = (G + chunk - 1) // chunk
+        Gpad = nchunks * chunk
+        codes = gal.tex_codes
+        if Gpad != G:
+            codes = jnp.concatenate(
+                [codes, jnp.zeros((Gpad - G, flat), codes.dtype)])
+
+        @jax.jit
+        def decode_all(codes):
+            blocks = codes.reshape(nchunks, chunk, Rt, S)
+            def one(blk):
+                dec = self._decode(blk)
+                if self.tex_int8:
+                    dec = jnp.clip(jnp.round(dec.astype(jnp.float32)
+                                             / self._tex_scale_g),
+                                   -127, 127).astype(jnp.int8)
+                return jnp.swapaxes(dec, 1, 2)                 # [chunk, D, Rt]
+            return jax.lax.map(one, blocks).reshape(Gpad, D, Rt)
+
+        dec = decode_all(codes)[:G]
+        return dataclasses.replace(gal, tex_dec=dec, tex_codes=None)
 
     # ------------------------------------------------------------------
     def _match_all(self, lat: dict, gal: dict) -> jnp.ndarray:
@@ -154,30 +248,54 @@ class MatchEngine:
             return texture_match_from_simi(simi, lat["tex_xy"], lat["tex_ori"],
                                            r_xy, r_ori)
 
-        blocks = {k: v.reshape((nb, B) + v.shape[1:]) for k, v in gal.items()}
+        # Blocks are carved with dynamic_slice per step rather than a
+        # whole-array reshape: reshaping [G, ...] -> [nb, B, ...] makes XLA
+        # relayout-copy the entire gallery (2x an 8 GB tex_dec at 100K),
+        # while slicing touches one block at a time.
+        def get_block(i):
+            return {k: jax.lax.dynamic_slice_in_dim(v, i * B, B, axis=0)
+                    for k, v in gal.items()}
 
         def step(carry, blk):
-            Rm = blk["minu_des"].shape[1]
-            Rt = blk["tex_codes"].shape[1]
+            Rm = blk["minu_des"].shape[2]
             rol_minu_valid = jnp.arange(Rm)[None, :] < blk["minu_n"][:, None]
+            Rt = blk["tex_sqnorm"].shape[1]
             rol_tex_valid = jnp.arange(Rt)[None, :] < blk["tex_n"][:, None]
+            minu_xy = jnp.stack([blk["minu_x"], blk["minu_y"]], axis=-1)
+            tex_xy = jnp.stack([blk["tex_x"], blk["tex_y"]], axis=-1)
 
             s_minu = over_templates(
                 lat_minu_des, lat["minu_xy"], lat["minu_ori"], lat_minu_valid,
-                blk["minu_des"], blk["minu_xy"], blk["minu_ori"], rol_minu_valid,
+                blk["minu_des"], minu_xy, blk["minu_ori"], rol_minu_valid,
             )                                                        # [T, B]
 
-            decoded = decode_pq(blk["tex_codes"], self._codebook_flat,
-                                self.n_clusters, dtype=dtype)         # [B, Rt, D]
-            simi = texture_similarity(lat_tex_des, lat_sqnorm, lat_tex_valid,
-                                      decoded, blk["tex_sqnorm"], rol_tex_valid)
-            s_tex = jax.vmap(pair_tex)(simi, blk["tex_xy"], blk["tex_ori"])
+            if "tex_dec" in blk:
+                decoded_t = blk["tex_dec"]                           # [B, D, Rt]
+            else:
+                codes = blk["tex_codes"].reshape(B, Rt, -1)
+                decoded_t = jnp.swapaxes(self._decode(codes), 1, 2)
+            if decoded_t.dtype == jnp.int8:
+                s_x = jnp.max(jnp.abs(lat["tex_des"])) / 127.0 + 1e-9
+                lat_q = jnp.clip(jnp.round(lat["tex_des"] / s_x),
+                                 -127, 127).astype(jnp.int8)
+                simi = texture_similarity(
+                    lat_q, lat_sqnorm, lat_tex_valid, decoded_t,
+                    blk["tex_sqnorm"], rol_tex_valid,
+                    dot_scale=s_x * self._tex_scale_g)
+            else:
+                simi = texture_similarity(lat_tex_des, lat_sqnorm,
+                                          lat_tex_valid, decoded_t,
+                                          blk["tex_sqnorm"], rol_tex_valid)
+            s_tex = jax.vmap(pair_tex)(simi, tex_xy, blk["tex_ori"])
 
             fused = jnp.sum(s_minu, axis=0) + MC.TEXTURE_SCORE_WEIGHT * s_tex
             nonempty = (blk["minu_n"] > 0) | (blk["tex_n"] > 0)
             return carry, jnp.where(nonempty, fused, -1.0)
 
-        _, scores = jax.lax.scan(step, None, blocks)
+        def indexed_step(carry, i):
+            return step(carry, get_block(i))
+
+        _, scores = jax.lax.scan(indexed_step, None, jnp.arange(nb))
         return scores.reshape(-1)
 
     # ------------------------------------------------------------------
@@ -194,18 +312,37 @@ class MatchEngine:
 
     @staticmethod
     def _gallery_dict(gal: DeviceGallery) -> dict:
-        return dict(minu_des=gal.minu_des, minu_xy=gal.minu_xy,
-                    minu_ori=gal.minu_ori, minu_n=gal.minu_n,
-                    tex_codes=gal.tex_codes, tex_sqnorm=gal.tex_sqnorm,
-                    tex_xy=gal.tex_xy, tex_ori=gal.tex_ori, tex_n=gal.tex_n)
+        d = dict(minu_des=gal.minu_des, minu_x=gal.minu_x, minu_y=gal.minu_y,
+                 minu_ori=gal.minu_ori, minu_n=gal.minu_n,
+                 tex_sqnorm=gal.tex_sqnorm, tex_x=gal.tex_x, tex_y=gal.tex_y,
+                 tex_ori=gal.tex_ori, tex_n=gal.tex_n)
+        if gal.tex_dec is not None:
+            d["tex_dec"] = gal.tex_dec
+        else:
+            d["tex_codes"] = gal.tex_codes
+        return d
 
     def match_scores(self, latent: PackedLatent, gallery: DeviceGallery) -> jax.Array:
         """Raw device scores [G_padded] (async; use for benchmarking)."""
         return self._match_fn(self._latent_dict(latent), self._gallery_dict(gallery))
 
+    def match_scores_batch(self, latents: Sequence[PackedLatent],
+                           gallery: DeviceGallery) -> jax.Array:
+        """Scores [NL, G_padded] for a batch of same-shape latents."""
+        stacked = {k: jnp.stack([self._latent_dict(l)[k] for l in latents])
+                   for k in self._latent_dict(latents[0])}
+        return self._match_batch_fn(stacked, self._gallery_dict(gallery))
+
     def one_to_list(self, latent: PackedLatent, gallery: DeviceGallery) -> MatchResult:
         scores = np.asarray(self.match_scores(latent, gallery))[:gallery.n_real]
         return MatchResult(scores=scores, names=gallery.names)
+
+    def list_to_list(self, latents: Sequence[PackedLatent],
+                     gallery: DeviceGallery) -> List[MatchResult]:
+        """Batch (-ldir) mode: every latent against the whole gallery."""
+        scores = np.asarray(self.match_scores_batch(latents, gallery))
+        return [MatchResult(scores=s[:gallery.n_real], names=gallery.names)
+                for s in scores]
 
 
 def write_score_csv(path: str, result: MatchResult) -> None:

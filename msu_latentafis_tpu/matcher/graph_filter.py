@@ -27,12 +27,15 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..templates.data_model import MatcherConstants as MC
 
 _EPS_COMPAT = 1e-5   # H >= eps counts as compatible (matcher.cpp:1205/1329/1450)
 _THR_DIST = 1e-4     # greedy stop threshold, distance stages (matcher.cpp:1187)
 _THR_ANGLE = 1e-3    # greedy stop threshold, angle stage (matcher.cpp:1599)
+_COS_PI_4 = float(np.cos(np.pi / 4))
+_COS_PI_6 = float(np.cos(np.pi / 6))
 
 
 def build_dist_H(lxy: jnp.ndarray, rxy: jnp.ndarray, valid: jnp.ndarray,
@@ -83,25 +86,57 @@ def _ang_diff(a1: jnp.ndarray, a2: jnp.ndarray) -> jnp.ndarray:
 
 
 def build_angle_H(lxy, lori, rxy, rori, valid) -> jnp.ndarray:
-    """Boolean angle-consistency matrix (LSS_R_Fast2 three angle tests)."""
-    rel_l = _wrap_pi(lori[:, None] - lori[None, :])
-    rel_r = _wrap_pi(rori[:, None] - rori[None, :])
-    t1 = _ang_diff(rel_l, rel_r) <= jnp.pi / 4
+    """Boolean angle-consistency matrix (LSS_R_Fast2 three angle tests).
 
-    dxl = lxy[:, None, 0] - lxy[None, :, 0]
-    dyl = lxy[:, None, 1] - lxy[None, :, 1]
-    line_l = -jnp.arctan2(dyl, dxl)
-    dxr = rxy[:, None, 0] - rxy[None, :, 0]
-    dyr = rxy[:, None, 1] - rxy[None, :, 1]
-    line_r = -jnp.arctan2(dyr, dxr)
+    Trig-free formulation: every test ``|wrap(a - b)| <= t`` is equivalent to
+    ``cos(a - b) >= cos(t)`` (cos is monotone on [0, pi] and the wrap only
+    folds into that range), and each cos-of-difference expands into dot /
+    cross products of unit vectors: the minutia direction vectors
+    (cos ori, sin ori) and the normalized connecting-line vectors
+    (dx, -dy)/r (the reference's line angle is -atan2(dy, dx)). This removes
+    the per-pair arctan2/cos calls that dominate the VPU cost of the
+    original formulation while making identical decisions.
+    """
+    cl, sl = jnp.cos(lori), jnp.sin(lori)          # [K] each — only O(K) trig
+    cr, sr = jnp.cos(rori), jnp.sin(rori)
 
-    a1 = _wrap_pi(lori[:, None] - line_l)
-    a2 = _wrap_pi(rori[:, None] - line_r)
-    t2 = _ang_diff(a1, a2) <= jnp.pi / 6
+    # test 1: relative minutia orientation difference <= pi/4
+    # cos((lori_i - lori_j) - (rori_i - rori_j))
+    cos_rel_l = cl[:, None] * cl[None, :] + sl[:, None] * sl[None, :]
+    sin_rel_l = sl[:, None] * cl[None, :] - cl[:, None] * sl[None, :]
+    cos_rel_r = cr[:, None] * cr[None, :] + sr[:, None] * sr[None, :]
+    sin_rel_r = sr[:, None] * cr[None, :] - cr[:, None] * sr[None, :]
+    t1 = (cos_rel_l * cos_rel_r + sin_rel_l * sin_rel_r) >= _COS_PI_4
 
-    b1 = _wrap_pi(lori[None, :] - line_l)
-    b2 = _wrap_pi(rori[None, :] - line_r)
-    t3 = _ang_diff(b1, b2) <= jnp.pi / 6
+    # line angle L = -atan2(dy, dx): cos L = dx/r, sin L = -dy/r.
+    # Coincident points (two correspondences sharing a minutia) must follow
+    # atan2(0, 0) = 0, i.e. the unit vector (1, 0).
+    def line_vec(xy):
+        dx = xy[:, None, 0] - xy[None, :, 0]
+        dy = xy[:, None, 1] - xy[None, :, 1]
+        r2 = dx * dx + dy * dy
+        zero = r2 == 0.0
+        inv = jax.lax.rsqrt(jnp.where(zero, 1.0, r2))
+        return (jnp.where(zero, 1.0, dx * inv),
+                jnp.where(zero, 0.0, -dy * inv))
+
+    cLl, sLl = line_vec(lxy)
+    cLr, sLr = line_vec(rxy)
+
+    def cos_diff_of_diffs(c_a, s_a, c_b, s_b, c_c, s_c, c_d, s_d):
+        # cos((A - B) - (C - D)) given unit vectors of A, B, C, D
+        cab = c_a * c_b + s_a * s_b
+        sab = s_a * c_b - c_a * s_b
+        ccd = c_c * c_d + s_c * s_d
+        scd = s_c * c_d - c_c * s_d
+        return cab * ccd + sab * scd
+
+    # test 2: (lori_i - line_l) vs (rori_i - line_r) <= pi/6
+    t2 = cos_diff_of_diffs(cl[:, None], sl[:, None], cLl, sLl,
+                           cr[:, None], sr[:, None], cLr, sLr) >= _COS_PI_6
+    # test 3: (lori_j - line_l) vs (rori_j - line_r) <= pi/6
+    t3 = cos_diff_of_diffs(cl[None, :], sl[None, :], cLl, sLl,
+                           cr[None, :], sr[None, :], cLr, sLr) >= _COS_PI_6
 
     K = t1.shape[0]
     mask = valid[:, None] & valid[None, :] & ~jnp.eye(K, dtype=bool)

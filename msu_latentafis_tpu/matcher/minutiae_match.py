@@ -20,14 +20,19 @@ from .graph_filter import filter_correspondences
 
 
 def minutiae_similarity(lat_des: jnp.ndarray, lat_valid: jnp.ndarray,
-                        rol_des: jnp.ndarray, rol_valid: jnp.ndarray) -> jnp.ndarray:
-    """Clamped descriptor similarity [.., Lm, Rm]; invalid pairs -> 0."""
+                        rol_des_t: jnp.ndarray, rol_valid: jnp.ndarray) -> jnp.ndarray:
+    """Clamped descriptor similarity [.., Lm, Rm]; invalid pairs -> 0.
+
+    ``rol_des_t`` is TRANSPOSED [.., D, Rm]: the gallery keeps descriptors
+    with the minutiae axis last so the TPU lane dimension is the large one
+    (a trailing D=96 would be lane-padded to 128, inflating HBM by 4/3).
+    """
     # HIGHEST precision for f32 inputs: on TPU the MXU would otherwise
     # downcast to bf16, perturbing the top-120 correspondence selection vs
     # the spec. bfloat16 inputs (the throughput mode) keep the fast path.
     prec = (jax.lax.Precision.HIGHEST if lat_des.dtype == jnp.float32
             else jax.lax.Precision.DEFAULT)
-    simi = jnp.einsum("...ld,...rd->...lr", lat_des, rol_des,
+    simi = jnp.einsum("...ld,...dr->...lr", lat_des, rol_des_t,
                       preferred_element_type=jnp.float32, precision=prec)
     simi = jnp.maximum(simi, 0.0)
     pair_valid = lat_valid[..., :, None] & rol_valid[..., None, :]
@@ -59,9 +64,10 @@ def minutiae_correspondences(simi: jnp.ndarray, lat_valid: jnp.ndarray,
 
 
 def minutiae_match_single(lat_des, lat_xy, lat_ori, lat_valid,
-                          rol_des, rol_xy, rol_ori, rol_valid) -> jnp.ndarray:
-    """Score one latent minutiae template against one rolled template."""
-    simi = minutiae_similarity(lat_des, lat_valid, rol_des, rol_valid)
+                          rol_des_t, rol_xy, rol_ori, rol_valid) -> jnp.ndarray:
+    """Score one latent minutiae template against one rolled template.
+    ``rol_des_t`` is the transposed [D, Rm] descriptor matrix."""
+    simi = minutiae_similarity(lat_des, lat_valid, rol_des_t, rol_valid)
     val, li, ri, valid = minutiae_correspondences(simi, lat_valid, rol_valid)
     return filter_correspondences(
         val, li, ri,

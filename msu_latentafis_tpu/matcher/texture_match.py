@@ -20,8 +20,11 @@ the arithmetic throughput of the scalar LUT loop.
 """
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..templates.data_model import MatcherConstants as MC
 from .graph_filter import filter_correspondences
@@ -32,6 +35,9 @@ def decode_pq(codes: jnp.ndarray, codebook_flat: jnp.ndarray,
     """Decode uint8 PQ codes [..., S] -> descriptors [..., S*sub_dim].
 
     ``codebook_flat`` is [S * n_clusters, sub_dim] (row-major over subs).
+    Row-gather formulation — fast on CPU, but on TPU both the 3.7M-row
+    gather and the [N, 6] output layout (lane dim padded 6 -> 128) are
+    pathological; prefer ``decode_pq_matmul`` there.
     """
     S = codes.shape[-1]
     sub_dim = codebook_flat.shape[-1]
@@ -40,19 +46,58 @@ def decode_pq(codes: jnp.ndarray, codebook_flat: jnp.ndarray,
     return dec.reshape(codes.shape[:-1] + (S * sub_dim,))
 
 
+def block_diag_codebook(codebook, dtype=jnp.float32) -> jnp.ndarray:
+    """[S, C, d] codebook -> block-diagonal decode tensor [S, C, S*d] with
+    codebook[k, c] placed at output slice [k, c, k*d:(k+1)*d]. Built with
+    host NumPy (must be a concrete constant — it is cached on the engine
+    and reused across traces)."""
+    codebook = np.asarray(codebook)
+    S, C, d = codebook.shape
+    out = np.zeros((S, C, S * d), np.float32)
+    for k in range(S):
+        out[k, :, k * d:(k + 1) * d] = codebook[k]
+    return jnp.asarray(out, dtype)
+
+
+def decode_pq_matmul(codes: jnp.ndarray, decode_tensor: jnp.ndarray) -> jnp.ndarray:
+    """MXU decode: one-hot(codes) contracted with the block-diagonal
+    codebook tensor. Output [..., S*d] lands directly in a lane-aligned
+    96-wide layout; the one-hot matmul trades 256x redundant FLOPs for
+    avoiding TPU gathers — a large net win on the MXU."""
+    S = codes.shape[-1]
+    oh = jax.nn.one_hot(codes.astype(jnp.int32), decode_tensor.shape[1],
+                        dtype=decode_tensor.dtype)
+    prec = (jax.lax.Precision.HIGHEST if decode_tensor.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    return jnp.einsum("...kc,kcD->...D", oh, decode_tensor,
+                      preferred_element_type=jnp.float32,
+                      precision=prec).astype(decode_tensor.dtype)
+
+
 def texture_similarity(lat_des: jnp.ndarray, lat_sqnorm: jnp.ndarray,
                        lat_valid: jnp.ndarray,
-                       rol_decoded: jnp.ndarray, rol_sqnorm: jnp.ndarray,
-                       rol_valid: jnp.ndarray) -> jnp.ndarray:
+                       rol_decoded_t: jnp.ndarray, rol_sqnorm: jnp.ndarray,
+                       rol_valid: jnp.ndarray,
+                       dot_scale: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """simi[..., Lt, Rt] = 2 X.decoded^T + (6 - |x|^2 - |c|^2).
 
-    Invalid rolled columns -> -inf (excluded from the row argmax);
-    invalid latent rows -> -inf (excluded from the top-K).
+    ``rol_decoded_t`` is TRANSPOSED [..., D, Rt] (minutiae axis last for
+    lane-aligned TPU layout). When both descriptor operands are int8 the
+    dot runs on the int8 MXU path (2x bf16 throughput, half the HBM) and
+    ``dot_scale`` de-scales the int32 accumulator; the squared-norm
+    corrections stay exact f32 either way. Invalid rolled columns -> -inf
+    (excluded from the row argmax); invalid latent rows -> -inf (excluded
+    from the top-K).
     """
-    prec = (jax.lax.Precision.HIGHEST if lat_des.dtype == jnp.float32
-            else jax.lax.Precision.DEFAULT)
-    dots = jnp.einsum("ld,...rd->...lr", lat_des, rol_decoded,
-                      preferred_element_type=jnp.float32, precision=prec)
+    if rol_decoded_t.dtype == jnp.int8:
+        dots = jnp.einsum("ld,...dr->...lr", lat_des, rol_decoded_t,
+                          preferred_element_type=jnp.int32)
+        dots = dots.astype(jnp.float32) * dot_scale
+    else:
+        prec = (jax.lax.Precision.HIGHEST if lat_des.dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT)
+        dots = jnp.einsum("ld,...dr->...lr", lat_des, rol_decoded_t,
+                          preferred_element_type=jnp.float32, precision=prec)
     simi = 2.0 * dots + (6.0 - lat_sqnorm[:, None] - rol_sqnorm[..., None, :])
     pair_valid = lat_valid[:, None] & rol_valid[..., None, :]
     return jnp.where(pair_valid, simi, -jnp.inf)

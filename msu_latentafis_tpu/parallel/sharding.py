@@ -46,19 +46,24 @@ def shard_gallery(engine: MatchEngine, packed: PackedGallery,
     def put(a):
         return jax.device_put(a, sh)
 
-    return DeviceGallery(
-        minu_des=put(pad(packed.minu_des).astype(dtype)),
-        minu_xy=put(pad(packed.minu_xy)),
+    Gp = ((G0 + quantum - 1) // quantum) * quantum
+    Rt, S = packed.tex_codes.shape[1], packed.tex_codes.shape[2]
+    gal = DeviceGallery(
+        minu_des=put(np.swapaxes(pad(packed.minu_des), 1, 2).astype(dtype)),
+        minu_x=put(pad(packed.minu_xy)[:, :, 0].copy()),
+        minu_y=put(pad(packed.minu_xy)[:, :, 1].copy()),
         minu_ori=put(pad(packed.minu_ori)),
         minu_n=put(pad(packed.minu_n)),
-        tex_codes=put(pad(packed.tex_codes)),
+        tex_codes=put(pad(packed.tex_codes).reshape(Gp, Rt * S)),
         tex_sqnorm=put(pad(packed.tex_sqnorm)),
-        tex_xy=put(pad(packed.tex_xy)),
+        tex_x=put(pad(packed.tex_xy)[:, :, 0].copy()),
+        tex_y=put(pad(packed.tex_xy)[:, :, 1].copy()),
         tex_ori=put(pad(packed.tex_ori)),
         tex_n=put(pad(packed.tex_n)),
         names=list(packed.names),
         n_real=G0,
     )
+    return engine.maybe_predecode(gal, n_subs=S)
 
 
 def match_sharded(engine: MatchEngine, latent: "PackedLatent",

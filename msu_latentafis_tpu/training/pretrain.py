@@ -1,0 +1,162 @@
+"""Stand-in model pretraining on synthetic ridge data.
+
+The reference ships no weights (its checkpoints are external downloads), so
+usable stand-ins are trained from the synthetic fingerprint prior
+(training.synthetic_data): the enhancement AEC learns to undo degradations,
+the minutiae net learns cylinder regression on planted minutiae, the
+descriptor net learns identity-discriminative embeddings, and CompNet learns
+an autoencoding-style 192->96 projection preserving cosine structure.
+
+Run: ``python -m msu_latentafis_tpu.training.pretrain --out <ckpt_dir>
+[--steps N]``. Checkpoints are Orbax directories consumable by
+pipeline.ModelBundle.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import CompNet, DescriptorNet, EnhancementAEC, MinutiaeAEC
+from ..pipeline.models_bundle import save_checkpoint
+from . import losses
+from .augment import make_training_pair
+from .synthetic_data import (synthetic_descriptor_batch,
+                             synthetic_enhancement_sample,
+                             synthetic_minutiae_sample)
+from .trainer import create_train_state, l2_train_step, triplet_train_step
+
+
+def _variables(state):
+    return {"params": state.params, "batch_stats": state.batch_stats}
+
+
+def pretrain_minutiae(steps: int = 300, batch: int = 16, size: int = 128,
+                      nf: int = 64, seed: int = 0, log_every: int = 50):
+    rng = np.random.default_rng(seed)
+    model = MinutiaeAEC(nf=nf)
+    key = jax.random.PRNGKey(seed)
+    state = create_train_state(model, key, jnp.zeros((batch, size, size, 1)))
+    step_fn = jax.jit(l2_train_step)
+    for i in range(steps):
+        xs, ys = [], []
+        for _ in range(batch):
+            img, cyl, _ = synthetic_minutiae_sample(rng, size=size,
+                                                    n_minutiae=int(rng.integers(4, 14)))
+            xs.append(img / 128.0 - 1.0)
+            ys.append(cyl)
+        state, loss = step_fn(state, jnp.asarray(np.stack(xs)),
+                              jnp.asarray(np.stack(ys)))
+        if i % log_every == 0:
+            print(f"minutiae step {i}: loss {float(loss):.1f}")
+    return model, _variables(state)
+
+
+def pretrain_enhancement(steps: int = 300, batch: int = 16, size: int = 128,
+                         seed: int = 0, log_every: int = 50):
+    rng = np.random.default_rng(seed)
+    model = EnhancementAEC()
+    key = jax.random.PRNGKey(seed)
+    state = create_train_state(model, key, jnp.zeros((batch, size, size, 1)))
+    step_fn = jax.jit(l2_train_step)
+    aug_keys = jax.random.split(key, steps * batch).reshape(steps, batch, -1)
+    for i in range(steps):
+        xs, ys = [], []
+        for b in range(batch):
+            raw, target = synthetic_enhancement_sample(rng, size=size)
+            xin, _ = make_training_pair(aug_keys[i, b], jnp.asarray(raw),
+                                        jnp.asarray(target), crop=size)
+            xs.append(np.asarray(xin))
+            ys.append(target)
+        state, loss = step_fn(state, jnp.asarray(np.stack(xs)),
+                              jnp.asarray(np.stack(ys)))
+        if i % log_every == 0:
+            print(f"enhancement step {i}: loss {float(loss):.1f}")
+    return model, _variables(state)
+
+
+def pretrain_descriptor(steps: int = 200, seed: int = 0, log_every: int = 50):
+    rng = np.random.default_rng(seed)
+    model = DescriptorNet()
+    key = jax.random.PRNGKey(seed)
+    state = create_train_state(model, key, jnp.zeros((8, 96, 96, 1)))
+    step_fn = jax.jit(triplet_train_step)
+    for i in range(steps):
+        x, y = synthetic_descriptor_batch(rng, n_ids=8, samples_per_id=4)
+        state, loss = step_fn(state, jnp.asarray(x), jnp.asarray(y))
+        if i % log_every == 0:
+            print(f"descriptor step {i}: loss {float(loss):.3f}")
+    return model, _variables(state)
+
+
+def pretrain_compnet(steps: int = 500, batch: int = 256, seed: int = 0,
+                     log_every: int = 100):
+    """Train the 192->96 projection to preserve pairwise cosine structure of
+    concatenated descriptor triples (distillation-free analog of the DR
+    training objective)."""
+    import optax
+    from .trainer import TrainState
+    rng = np.random.default_rng(seed)
+    model = CompNet()
+    key = jax.random.PRNGKey(seed)
+    state = create_train_state(model, key, jnp.zeros((batch, 192)))
+
+    @jax.jit
+    def step(state, x):
+        def loss_fn(params):
+            z, updates = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                x, train=True, mutable=["batch_stats"])
+            zn = z / (jnp.linalg.norm(z, axis=1, keepdims=True) + 1e-8)
+            xn = x / (jnp.linalg.norm(x, axis=1, keepdims=True) + 1e-8)
+            sim_z = zn @ zn.T
+            sim_x = xn @ xn.T
+            return jnp.mean((sim_z - sim_x) ** 2), updates
+        (loss, updates), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads=grads)
+        return state.replace(batch_stats=updates["batch_stats"]), loss
+
+    for i in range(steps):
+        x = rng.standard_normal((batch, 192)).astype(np.float32)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        state, loss = step(state, jnp.asarray(x))
+        if i % log_every == 0:
+            print(f"compnet step {i}: loss {float(loss):.4f}")
+    return model, _variables(state)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", required=True, help="checkpoint root directory")
+    p.add_argument("--steps", type=int, default=300)
+    p.add_argument("--which", default="all",
+                   choices=["all", "minutiae", "enhancement", "descriptor",
+                            "compnet"])
+    args = p.parse_args(argv)
+    os.makedirs(args.out, exist_ok=True)
+
+    t0 = time.time()
+    if args.which in ("all", "minutiae"):
+        _, v = pretrain_minutiae(steps=args.steps)
+        save_checkpoint(os.path.join(args.out, "minutiae"), v)
+        save_checkpoint(os.path.join(args.out, "minutiae_stft"), v)
+    if args.which in ("all", "enhancement"):
+        _, v = pretrain_enhancement(steps=args.steps)
+        save_checkpoint(os.path.join(args.out, "enhancement"), v)
+    if args.which in ("all", "descriptor"):
+        _, v = pretrain_descriptor(steps=max(100, args.steps // 2))
+        for pt in (2, 8, 11):
+            save_checkpoint(os.path.join(args.out, f"descriptor_patch{pt}"), v)
+    if args.which in ("all", "compnet"):
+        _, v = pretrain_compnet(steps=args.steps)
+        save_checkpoint(os.path.join(args.out, "compnet"), v)
+    print(f"pretraining done in {time.time() - t0:.0f}s -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()

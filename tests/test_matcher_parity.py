@@ -105,7 +105,8 @@ def test_texture_matmul_equals_lut(rng):
     sq = np.asarray(decoded[0]) ** 2
     rol_sqnorm = jnp.asarray(sq.sum(axis=1, keepdims=True).T)
     lat_sq = jnp.asarray((lat_des ** 2).sum(axis=1))
+    decoded_t = jnp.swapaxes(decoded, 1, 2)          # [1, D, Rt] device layout
     simi = texture_similarity(jnp.asarray(lat_des), lat_sq,
-                              jnp.ones(40, bool), decoded, rol_sqnorm,
+                              jnp.ones(40, bool), decoded_t, rol_sqnorm,
                               jnp.ones((1, 50), bool))
     np.testing.assert_allclose(np.asarray(simi[0]), simi_spec, rtol=1e-4, atol=1e-4)
