@@ -41,6 +41,8 @@ def cpu_baseline_pairs_per_s() -> float:
 
 def main():
     import jax
+    from msu_latentafis_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax.numpy as jnp
     from msu_latentafis_tpu.matcher.engine import DeviceGallery, MatchEngine
     from msu_latentafis_tpu.templates import read_codebook
@@ -109,12 +111,17 @@ def main():
                             quantize_tex_xy=False, minu_cap=LM, tex_cap=LT)
                 for _ in range(N_LATENTS)] for _ in range(n_rounds)]
 
-    # warmup / compile
-    jax.block_until_ready(engine.match_scores_batch(batches[0], gallery))
+    # warmup / compile (separate batch so no run is a repeat)
+    warm = [pack_latent(make_latent_template(rng, n_minu=LM, n_tex=LT),
+                        quantize_tex_xy=False, minu_cap=LM, tex_cap=LT)
+            for _ in range(N_LATENTS)]
+    r = engine.match_scores_batch(warm, gallery)
+    float(np.asarray(r[0, 0]))
 
     t0 = time.time()
     for batch in batches:
-        jax.block_until_ready(engine.match_scores_batch(batch, gallery))
+        r = engine.match_scores_batch(batch, gallery)
+        float(np.asarray(r[0, :4]).sum())   # force execution + readback
     dt = time.time() - t0
     latents_per_s = n_rounds * N_LATENTS / dt
 

@@ -115,6 +115,8 @@ def _load_gallery(engine, gallery_dir: str):
 
 def cmd_match(args) -> int:
     import jax.numpy as jnp
+    from .utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     from .matcher.engine import MatchEngine, write_rank_csv, write_score_csv
     from .templates import read_codebook, read_final_template
     from .templates.packing import pack_latent

@@ -30,7 +30,10 @@ import numpy as np
 
 from ..templates.data_model import MatcherConstants as MC
 from ..templates.packing import PackedGallery, PackedLatent
-from .minutiae_match import minutiae_match_single
+from . import pallas_kernels as pk
+from .graph_filter import filter_correspondences
+from .minutiae_match import (minutiae_correspondences, minutiae_match_single,
+                             minutiae_similarity)
 from .texture_match import (block_diag_codebook, decode_pq, decode_pq_matmul,
                             texture_similarity, texture_match_from_simi)
 
@@ -125,14 +128,11 @@ class MatchEngine:
         self.block_size = int(block_size)
         self.compute_dtype = compute_dtype
         self.predecode = predecode
+        # _match_all is natively batched over a leading latent axis: the
+        # gallery (and per-block decode) is shared across the batch, the
+        # texture scoring runs as one Pallas kernel over an (NL, B) grid,
+        # and graph filtering vmaps over (NL, B).
         self._match_fn = jax.jit(self._match_all)
-        # Batched-latents variant: vmap over the latent axis. The gallery
-        # (and the per-block PQ decode, which is latent-independent) is
-        # shared across the batch — XLA hoists it out of the vmapped body —
-        # so batching amortizes every per-block fixed cost and feeds the
-        # MXU larger matmuls.
-        self._match_batch_fn = jax.jit(jax.vmap(self._match_all,
-                                                in_axes=(0, None)))
 
     # ------------------------------------------------------------------
     def load_gallery(self, packed: PackedGallery,
@@ -220,21 +220,34 @@ class MatchEngine:
 
     # ------------------------------------------------------------------
     def _match_all(self, lat: dict, gal: dict) -> jnp.ndarray:
-        """Jitted: one latent against the full gallery -> scores [G]."""
+        """Jitted: NL latents against the full gallery -> scores [NL, G].
+
+        Latent arrays carry a leading NL axis; the gallery is scanned in
+        blocks of B entries shared by the whole latent batch.
+        """
         B = self.block_size
         G = gal["minu_des"].shape[0]
         nb = G // B
         dtype = self.compute_dtype
+        on_tpu = jax.default_backend() != "cpu"
 
-        T, Lm, D = lat["minu_des"].shape
-        lat_minu_valid = jnp.arange(Lm)[None, :] < lat["minu_n"][:, None]   # [T, Lm]
-        Lt = lat["tex_des"].shape[0]
-        lat_tex_valid = jnp.arange(Lt) < lat["tex_n"]
-        lat_tex_des = lat["tex_des"].astype(dtype)
+        NL, T, Lm, D = lat["minu_des"].shape
+        lat_minu_valid = jnp.arange(Lm)[None, None, :] \
+            < lat["minu_n"][:, :, None]                      # [NL, T, Lm]
+        Lt = lat["tex_des"].shape[1]
+        lat_tex_valid = jnp.arange(Lt)[None, :] < lat["tex_n"][:, None]
+        lat_tex_des = lat["tex_des"].astype(dtype)           # [NL, Lt, D]
         lat_sqnorm = jnp.sum(lat["tex_des"].astype(jnp.float32) ** 2, axis=-1)
         lat_minu_des = lat["minu_des"].astype(dtype)
 
-        # one latent template vs one rolled entry
+        # flatten (NL, T) -> one latent-template axis for the minutiae vmap
+        def flat(a):
+            return a.reshape((NL * T,) + a.shape[2:])
+        fl_des = flat(lat_minu_des)
+        fl_xy = flat(lat["minu_xy"])
+        fl_ori = flat(lat["minu_ori"])
+        fl_valid = lat_minu_valid.reshape(NL * T, Lm)
+
         def pair_minu(t_des, t_xy, t_ori, t_valid, r_des, r_xy, r_ori, r_valid):
             return minutiae_match_single(t_des, t_xy, t_ori, t_valid,
                                          r_des, r_xy, r_ori, r_valid)
@@ -244,19 +257,33 @@ class MatchEngine:
         over_templates = jax.vmap(over_gallery,
                                   in_axes=(0, 0, 0, 0, None, None, None, None))
 
-        def pair_tex(simi, r_xy, r_ori):
-            return texture_match_from_simi(simi, lat["tex_xy"], lat["tex_ori"],
-                                           r_xy, r_ori)
+        # TPU path: extract correspondences only, filter via the fused kernel
+        def corr_minu(t_des, t_valid, r_des, r_valid):
+            simi = minutiae_similarity(t_des, t_valid, r_des, r_valid)
+            return minutiae_correspondences(simi, t_valid, r_valid,
+                                            approx=on_tpu)
 
-        # Blocks are carved with dynamic_slice per step rather than a
-        # whole-array reshape: reshaping [G, ...] -> [nb, B, ...] makes XLA
-        # relayout-copy the entire gallery (2x an 8 GB tex_dec at 100K),
-        # while slicing touches one block at a time.
+        corr_over_gallery = jax.vmap(corr_minu, in_axes=(None, None, 0, 0))
+        corr_over_templates = jax.vmap(corr_over_gallery,
+                                       in_axes=(0, 0, None, None))
+
+        def pair_tex(val, li, ri, lxy, lori, r_xy, r_ori):
+            valid = val > pk.NEG_BIG / 2
+            val = jnp.where(valid, val, 0.0)
+            return filter_correspondences(
+                val, li, ri, lxy[li], lori[li], r_xy[ri], r_ori[ri],
+                valid, lookup=True, dist_iters=3)
+
         def get_block(i):
+            # dynamic_slice per step: a whole-array reshape would make XLA
+            # relayout-copy the entire gallery
             return {k: jax.lax.dynamic_slice_in_dim(v, i * B, B, axis=0)
                     for k, v in gal.items()}
 
-        def step(carry, blk):
+        k_tex = min(MC.TOPN_TEX_CORR, Lt)
+
+        def step(carry, i):
+            blk = get_block(i)
             Rm = blk["minu_des"].shape[2]
             rol_minu_valid = jnp.arange(Rm)[None, :] < blk["minu_n"][:, None]
             Rt = blk["tex_sqnorm"].shape[1]
@@ -264,51 +291,122 @@ class MatchEngine:
             minu_xy = jnp.stack([blk["minu_x"], blk["minu_y"]], axis=-1)
             tex_xy = jnp.stack([blk["tex_x"], blk["tex_y"]], axis=-1)
 
-            s_minu = over_templates(
-                lat_minu_des, lat["minu_xy"], lat["minu_ori"], lat_minu_valid,
-                blk["minu_des"], minu_xy, blk["minu_ori"], rol_minu_valid,
-            )                                                        # [T, B]
+            if on_tpu:
+                mval, mli, mri, mvalid = corr_over_templates(
+                    fl_des, fl_valid, blk["minu_des"], rol_minu_valid)
+                # packed coordinate gathers: one [.., 4]-wide gather per
+                # side instead of five scalar ones (TPU gathers are
+                # per-element-slow; a wider minor dim amortizes the rows)
+                lat_pack = jnp.stack(
+                    [fl_xy[..., 0], fl_xy[..., 1],
+                     jnp.cos(fl_ori), jnp.sin(fl_ori)], axis=-1)  # [NT, Lm, 4]
+                rol_pack = jnp.stack(
+                    [blk["minu_x"], blk["minu_y"],
+                     jnp.cos(blk["minu_ori"]), jnp.sin(blk["minu_ori"])],
+                    axis=-1)                                      # [B, Rm, 4]
+                gl = jnp.take_along_axis(
+                    lat_pack[:, None] + jnp.zeros((1, B, 1, 1)),
+                    mli[..., None], axis=2)                       # [NT, B, K, 4]
+                gr = jnp.take_along_axis(
+                    rol_pack[None] + jnp.zeros((NL * T, 1, 1, 1)),
+                    mri[..., None], axis=2)
+                flatten = lambda a: a.reshape((NL * T * B,) + a.shape[2:])
+                s_minu = pk.fused_graph_filter_packed(
+                    flatten(mval), flatten(gl), flatten(gr), flatten(mli),
+                    flatten(mri), flatten(mvalid),
+                    lookup=False, dist_iters=5).reshape(NL, T, B)
+            else:
+                s_minu = over_templates(
+                    fl_des, fl_xy, fl_ori, fl_valid,
+                    blk["minu_des"], minu_xy, blk["minu_ori"], rol_minu_valid,
+                ).reshape(NL, T, B)
 
             if "tex_dec" in blk:
-                decoded_t = blk["tex_dec"]                           # [B, D, Rt]
+                decoded_t = blk["tex_dec"]                   # [B, D, Rt]
             else:
                 codes = blk["tex_codes"].reshape(B, Rt, -1)
                 decoded_t = jnp.swapaxes(self._decode(codes), 1, 2)
+
             if decoded_t.dtype == jnp.int8:
-                s_x = jnp.max(jnp.abs(lat["tex_des"])) / 127.0 + 1e-9
-                lat_q = jnp.clip(jnp.round(lat["tex_des"] / s_x),
-                                 -127, 127).astype(jnp.int8)
-                simi = texture_similarity(
-                    lat_q, lat_sqnorm, lat_tex_valid, decoded_t,
-                    blk["tex_sqnorm"], rol_tex_valid,
-                    dot_scale=s_x * self._tex_scale_g)
+                # int8 storage, bf16 compute: fold the dequant scale into
+                # the (tiny) latent operand; the kernel casts per block
+                x_eff = (lat_tex_des.astype(jnp.float32)
+                         * self._tex_scale_g).astype(dtype)
             else:
-                simi = texture_similarity(lat_tex_des, lat_sqnorm,
-                                          lat_tex_valid, decoded_t,
-                                          blk["tex_sqnorm"], rol_tex_valid)
-            s_tex = jax.vmap(pair_tex)(simi, tex_xy, blk["tex_ori"])
+                x_eff = lat_tex_des
 
-            fused = jnp.sum(s_minu, axis=0) + MC.TEXTURE_SCORE_WEIGHT * s_tex
+            if on_tpu:
+                best, bestj = pk.fused_adc_rowmax(
+                    x_eff, lat_sqnorm, decoded_t,
+                    blk["tex_sqnorm"], rol_tex_valid.astype(jnp.float32))
+            else:
+                def one_simi(xd, xsq, xv):
+                    dec = decoded_t
+                    if dec.dtype == jnp.int8:
+                        dec = dec.astype(jnp.float32)
+                    return texture_similarity(xd, xsq, xv, dec,
+                                              blk["tex_sqnorm"], rol_tex_valid)
+                simi = jax.vmap(one_simi)(x_eff.astype(jnp.float32)
+                                          if decoded_t.dtype == jnp.int8
+                                          else lat_tex_des,
+                                          lat_sqnorm,
+                                          lat_tex_valid)     # [NL, B, Lt, Rt]
+                best = jnp.max(simi, axis=-1)
+                bestj = jnp.argmax(simi, axis=-1).astype(jnp.int32)
+                best = jnp.where(jnp.isfinite(best), best, pk.NEG_BIG)
+
+            # invalid latent rows drop out of the top-K
+            best = jnp.where(lat_tex_valid[:, None, :], best, pk.NEG_BIG)
+            topv, li = jax.lax.top_k(best, k_tex)            # [NL, B, k]
+            ri = jnp.take_along_axis(bestj, li, axis=2)
+
+            if on_tpu:
+                tvalid = topv > pk.NEG_BIG / 2
+                tval = jnp.where(tvalid, topv, 0.0)
+                lat_tpack = jnp.stack(
+                    [lat["tex_xy"][..., 0], lat["tex_xy"][..., 1],
+                     jnp.cos(lat["tex_ori"]), jnp.sin(lat["tex_ori"])],
+                    axis=-1)                                      # [NL, Lt, 4]
+                rol_tpack = jnp.stack(
+                    [blk["tex_x"], blk["tex_y"],
+                     jnp.cos(blk["tex_ori"]), jnp.sin(blk["tex_ori"])],
+                    axis=-1)                                      # [B, Rt, 4]
+                tgl = jnp.take_along_axis(
+                    lat_tpack[:, None] + jnp.zeros((1, B, 1, 1)),
+                    li[..., None], axis=2)                        # [NL, B, k, 4]
+                tgr = jnp.take_along_axis(
+                    rol_tpack[None] + jnp.zeros((NL, 1, 1, 1)),
+                    ri[..., None], axis=2)
+                flat2 = lambda a: a.reshape((NL * B,) + a.shape[2:])
+                s_tex = pk.fused_graph_filter_packed(
+                    flat2(tval), flat2(tgl), flat2(tgr), flat2(li),
+                    flat2(ri), flat2(tvalid),
+                    lookup=True, dist_iters=3).reshape(NL, B)
+            else:
+                s_tex = jax.vmap(jax.vmap(pair_tex,
+                                          in_axes=(0, 0, 0, None, None, 0, 0)),
+                                 in_axes=(0, 0, 0, 0, 0, None, None))(
+                    topv, li, ri, lat["tex_xy"], lat["tex_ori"],
+                    tex_xy, blk["tex_ori"])                  # [NL, B]
+
+            fused = jnp.sum(s_minu, axis=1) + MC.TEXTURE_SCORE_WEIGHT * s_tex
             nonempty = (blk["minu_n"] > 0) | (blk["tex_n"] > 0)
-            return carry, jnp.where(nonempty, fused, -1.0)
+            return carry, jnp.where(nonempty[None, :], fused, -1.0)
 
-        def indexed_step(carry, i):
-            return step(carry, get_block(i))
-
-        _, scores = jax.lax.scan(indexed_step, None, jnp.arange(nb))
-        return scores.reshape(-1)
+        _, scores = jax.lax.scan(step, None, jnp.arange(nb))
+        # scores: [nb, NL, B] -> [NL, G]
+        return jnp.swapaxes(scores, 0, 1).reshape(NL, nb * B)
 
     # ------------------------------------------------------------------
     @staticmethod
-    def _latent_dict(lat: PackedLatent) -> dict:
-        return dict(minu_des=jnp.asarray(lat.minu_des),
-                    minu_xy=jnp.asarray(lat.minu_xy),
-                    minu_ori=jnp.asarray(lat.minu_ori),
-                    minu_n=jnp.asarray(lat.minu_n),
-                    tex_des=jnp.asarray(lat.tex_des),
-                    tex_xy=jnp.asarray(lat.tex_xy),
-                    tex_ori=jnp.asarray(lat.tex_ori),
-                    tex_n=jnp.asarray(lat.tex_n))
+    def _latent_dict(lats: Sequence[PackedLatent]) -> dict:
+        """Stack a batch of same-shape latents with a leading NL axis."""
+        f = lambda attr: jnp.stack([jnp.asarray(getattr(l, attr))
+                                    for l in lats])
+        return dict(minu_des=f("minu_des"), minu_xy=f("minu_xy"),
+                    minu_ori=f("minu_ori"), minu_n=f("minu_n"),
+                    tex_des=f("tex_des"), tex_xy=f("tex_xy"),
+                    tex_ori=f("tex_ori"), tex_n=f("tex_n"))
 
     @staticmethod
     def _gallery_dict(gal: DeviceGallery) -> dict:
@@ -323,15 +421,15 @@ class MatchEngine:
         return d
 
     def match_scores(self, latent: PackedLatent, gallery: DeviceGallery) -> jax.Array:
-        """Raw device scores [G_padded] (async; use for benchmarking)."""
-        return self._match_fn(self._latent_dict(latent), self._gallery_dict(gallery))
+        """Raw device scores [G_padded] for one latent."""
+        return self._match_fn(self._latent_dict([latent]),
+                              self._gallery_dict(gallery))[0]
 
     def match_scores_batch(self, latents: Sequence[PackedLatent],
                            gallery: DeviceGallery) -> jax.Array:
         """Scores [NL, G_padded] for a batch of same-shape latents."""
-        stacked = {k: jnp.stack([self._latent_dict(l)[k] for l in latents])
-                   for k in self._latent_dict(latents[0])}
-        return self._match_batch_fn(stacked, self._gallery_dict(gallery))
+        return self._match_fn(self._latent_dict(latents),
+                              self._gallery_dict(gallery))
 
     def one_to_list(self, latent: PackedLatent, gallery: DeviceGallery) -> MatchResult:
         scores = np.asarray(self.match_scores(latent, gallery))[:gallery.n_real]

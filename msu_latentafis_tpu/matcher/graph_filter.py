@@ -156,32 +156,47 @@ def greedy_one_to_one(S: jnp.ndarray, compat: jnp.ndarray, li: jnp.ndarray,
                       ri: jnp.ndarray, valid: jnp.ndarray, thr: float) -> jnp.ndarray:
     """Greedy mutual-compatibility selection; returns a selected mask [K].
 
-    ``compat`` is boolean pairwise compatibility; a candidate is selected only
-    if compatible with *all* previously selected correspondences and neither
-    of its minutiae is already used. Equivalent to the reference's sorted
-    single pass (see module docstring).
+    ``compat`` is boolean pairwise compatibility; a candidate is selected
+    only if compatible with *all* previously selected correspondences and
+    neither of its minutiae is already used.
+
+    Formulated as parallel greedy-by-priority (Luby-style): candidate j
+    *blocks* i when j outranks i and selecting j would exclude i (shared
+    minutia or incompatible). The sequential scan's outcome satisfies
+    ``selected(i) <=> no blocker of i is selected``, the unique fixpoint of
+    the priority DAG, computed here in rounds — each round decides every
+    candidate whose blockers are all decided (two batched mask-matvecs per
+    round, ~log K rounds) instead of one selection per step. Exactly
+    equivalent to the reference's sorted single pass
+    (matcher.cpp:1184-1220), including first-index tie-breaking.
     """
     K = S.shape[0]
     conflict = (li[:, None] == li[None, :]) | (ri[:, None] == ri[None, :])
+    eligible = valid & (S >= thr)
+    bad = (conflict | ~compat) & ~jnp.eye(K, dtype=bool)
+    idx = jnp.arange(K)
+    # j outranks i: higher support, ties to the lower index (stable argmax)
+    outranks = (S[None, :] > S[:, None]) \
+        | ((S[None, :] == S[:, None]) & (idx[None, :] < idx[:, None]))
+    blockers = (bad & outranks & eligible[None, :]
+                & eligible[:, None]).astype(jnp.float32)      # [i, j]
 
     def cond(state):
-        selected, eligible = state
-        return jnp.any(eligible & (S >= thr))
+        sel, rej = state
+        return jnp.any(eligible & ~sel & ~rej)
 
     def body(state):
-        selected, eligible = state
-        masked = jnp.where(eligible & (S >= thr), S, -jnp.inf)
-        ind = jnp.argmax(masked)
-        selected = selected | (jnp.arange(K) == ind)
-        eligible = eligible & ~conflict[:, ind] & compat[:, ind]
-        return selected, eligible
+        sel, rej = state
+        undecided = eligible & ~sel & ~rej
+        blocked_by_sel = blockers @ sel.astype(jnp.float32) > 0.5
+        any_live_blocker = blockers @ (1.0 - rej.astype(jnp.float32)) > 0.5
+        sel = sel | (undecided & ~any_live_blocker)
+        rej = rej | (undecided & blocked_by_sel)
+        return sel, rej
 
-    # derive the initial carry from `valid` so both carry halves share the
-    # same (possibly device-varying, under shard_map) type
-    selected0 = jnp.logical_and(valid, False)
-    eligible0 = valid
-    selected, _ = jax.lax.while_loop(cond, body, (selected0, eligible0))
-    return selected
+    sel0 = jnp.logical_and(valid, False)
+    sel, _ = jax.lax.while_loop(cond, body, (sel0, sel0))
+    return sel
 
 
 def filter_correspondences(val: jnp.ndarray, li: jnp.ndarray, ri: jnp.ndarray,

@@ -1,0 +1,323 @@
+"""Pallas TPU kernels for the matcher's hot path.
+
+``fused_adc_rowmax``: the texture-scoring kernel. The reference's hottest
+loop computes a [Lt, Rt] ADC similarity matrix per pair and immediately
+reduces it to per-latent-minutia row maxima (matcher.cpp:564-735). The XLA
+einsum formulation materializes the [NL, B, Lt, Rt] similarity tensor in
+HBM (~0.8 GB per gallery block) just to reduce it — this kernel fuses the
+MXU matmul, the similarity correction, the validity masking, and the
+row-max/argmax inside VMEM, so only the [NL, B, Lt] maxima ever leave the
+chip. Grid is (NL latents x B gallery entries); each step runs one
+[Lt, D] x [D, Rt] matmul tile plus VPU reductions.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_BIG = -1e30
+_COS_PI_4 = float(np.cos(np.pi / 4))
+_COS_PI_6 = float(np.cos(np.pi / 6))
+
+
+def _adc_rowmax_kernel(x_ref, lsq_ref, dect_ref, rsq_ref, tvalid_ref,
+                       best_ref, bestj_ref):
+    # x: [Lt, D] (one latent); dect: [D, Rt] (one gallery entry, transposed)
+    # lsq: [1, Lt]; rsq / tvalid: [1, Rt]; outputs: [1, Lt]
+    x = x_ref[...]
+    dect = dect_ref[...]
+    if dect.dtype != x.dtype:        # int8-stored gallery: cast in VMEM
+        dect = dect.astype(x.dtype)
+    dots = jnp.dot(x, dect, preferred_element_type=jnp.float32)   # [Lt, Rt]
+    simi = 2.0 * dots + (6.0 - lsq_ref[0, :][:, None] - rsq_ref[0, :][None, :])
+    # invalid rolled minutiae drop out of the row max
+    simi = simi + (tvalid_ref[0, :][None, :] - 1.0) * (-NEG_BIG)
+    best_ref[0, :] = jnp.max(simi, axis=1)
+    bestj_ref[0, :] = jnp.argmax(simi, axis=1).astype(jnp.int32)
+
+
+def _greedy_rounds(S, blockers, eligible):
+    """Parallel greedy-by-priority rounds over a [T, K] tile (see
+    graph_filter.greedy_one_to_one for the equivalence argument). Carries
+    are f32 masks — Mosaic cannot legalize while_loop over i1 vectors."""
+    elig_f = eligible.astype(jnp.float32)
+
+    def cond(state):
+        sel, rej = state
+        return jnp.sum(elig_f * (1.0 - sel) * (1.0 - rej)) > 0.0
+
+    def body(state):
+        sel, rej = state
+        undecided = elig_f * (1.0 - sel) * (1.0 - rej)
+        blocked_by_sel = (jnp.sum(blockers * sel[:, None, :], axis=2)
+                          > 0.5).astype(jnp.float32)
+        any_live = (jnp.sum(blockers * (1.0 - rej)[:, None, :], axis=2)
+                    > 0.5).astype(jnp.float32)
+        sel = jnp.minimum(sel + undecided * (1.0 - any_live), 1.0)
+        rej = jnp.minimum(rej + undecided * blocked_by_sel, 1.0)
+        return sel, rej
+
+    zeros = jnp.zeros_like(elig_f)
+    sel, _ = jax.lax.while_loop(cond, body, (zeros, zeros))
+    return sel > 0.5
+
+
+def _power_iter(H, b0, iters):
+    def body(_, b):
+        c = jnp.sum(H * b[:, None, :], axis=2)
+        s = jnp.sum(c, axis=1, keepdims=True)
+        return c / (s + 1e-5)
+    return jax.lax.fori_loop(0, iters, body, b0)
+
+
+def _blockers(S, badf, eligible, idx_f):
+    """j blocks i: j outranks i (ties to lower index) and selecting j
+    excludes i. [T, K, K] f32. Pairwise logic runs in f32 (Mosaic cannot
+    insert dims on 1-bit vectors)."""
+    gt = (S[:, None, :] > S[:, :, None]).astype(jnp.float32)
+    eq_tie = ((S[:, None, :] == S[:, :, None])
+              & (idx_f[None, None, :] < idx_f[None, :, None])).astype(jnp.float32)
+    outranks = jnp.minimum(gt + eq_tie, 1.0)
+    ef = eligible.astype(jnp.float32)
+    return badf * outranks * ef[:, None, :] * ef[:, :, None]
+
+
+def _make_filter_kernel(lookup: bool, dist_iters: int, K: int):
+    d_thr = 30.0
+    lut_n = 50.0
+
+    def kernel(val_ref, lx_ref, ly_ref, lc_ref, ls_ref, rx_ref, ry_ref,
+               rc_ref, rs_ref, li_ref, ri_ref, valid_ref, score_ref):
+        T = val_ref.shape[0]
+        val = val_ref[...]
+        lx, ly = lx_ref[...], ly_ref[...]
+        rx, ry = rx_ref[...], ry_ref[...]
+        lc, ls = lc_ref[...], ls_ref[...]
+        rc, rs = rc_ref[...], rs_ref[...]
+        li, ri = li_ref[...], ri_ref[...]
+        valid = valid_ref[...] > 0.5
+        vf = valid_ref[...]
+
+        idx_f = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)[0] \
+            .astype(jnp.float32)
+        eyef = (jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
+                == jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)) \
+            .astype(jnp.float32)
+        neyef = 1.0 - eyef                                    # [K, K]
+
+        # ---- stage 1: distance-consistency H
+        dxl = lx[:, :, None] - lx[:, None, :]
+        dyl = ly[:, :, None] - ly[:, None, :]
+        dxr = rx[:, :, None] - rx[:, None, :]
+        dyr = ry[:, :, None] - ry[:, None, :]
+        if lookup:
+            adxl, adyl = jnp.abs(dxl), jnp.abs(dyl)
+            adxr, adyr = jnp.abs(dxr), jnp.abs(dyr)
+            in_rangef = ((adxl < lut_n) & (adyl < lut_n)
+                         & (adxr < lut_n) & (adyr < lut_n)) \
+                .astype(jnp.float32)
+            d1 = 16.0 * jnp.sqrt(adxl * adxl + adyl * adyl)
+            d2 = 16.0 * jnp.sqrt(adxr * adxr + adyr * adyr)
+        else:
+            in_rangef = jnp.ones(dxl.shape, jnp.float32)
+            d1 = jnp.sqrt(dxl * dxl + dyl * dyl)
+            d2 = jnp.sqrt(dxr * dxr + dyr * dyr)
+        dist = jnp.abs(d1 - d2)
+        H1 = jnp.clip((30.0 - dist) / 25.0, 0.0, 1.0)
+        pairf = vf[:, None, :] * vf[:, :, None] * neyef[None]
+        gatef = in_rangef * (dist <= d_thr).astype(jnp.float32) * pairf
+        H1 = H1 * gatef
+
+        b0 = jnp.where(valid, val, 0.0)
+        S1 = _power_iter(H1, b0, dist_iters)
+
+        conflictf = jnp.minimum(
+            (li[:, :, None] == li[:, None, :]).astype(jnp.float32)
+            + (ri[:, :, None] == ri[:, None, :]).astype(jnp.float32), 1.0)
+        bad1f = jnp.minimum(conflictf
+                            + (H1 < 1e-5).astype(jnp.float32), 1.0) * neyef[None]
+        elig1 = valid & (S1 >= 1e-4)
+        sel1 = _greedy_rounds(S1, _blockers(S1, bad1f, elig1, idx_f), elig1)
+
+        # ---- stage 2: angle-consistency H (trig-free)
+        cos_rel_l = lc[:, :, None] * lc[:, None, :] + ls[:, :, None] * ls[:, None, :]
+        sin_rel_l = ls[:, :, None] * lc[:, None, :] - lc[:, :, None] * ls[:, None, :]
+        cos_rel_r = rc[:, :, None] * rc[:, None, :] + rs[:, :, None] * rs[:, None, :]
+        sin_rel_r = rs[:, :, None] * rc[:, None, :] - rc[:, :, None] * rs[:, None, :]
+        t1 = (cos_rel_l * cos_rel_r + sin_rel_l * sin_rel_r) >= _COS_PI_4
+
+        r2l = dxl * dxl + dyl * dyl
+        zl = r2l == 0.0
+        invl = jax.lax.rsqrt(jnp.where(zl, 1.0, r2l))
+        cLl = jnp.where(zl, 1.0, dxl * invl)
+        sLl = jnp.where(zl, 0.0, -dyl * invl)
+        r2r = dxr * dxr + dyr * dyr
+        zr = r2r == 0.0
+        invr = jax.lax.rsqrt(jnp.where(zr, 1.0, r2r))
+        cLr = jnp.where(zr, 1.0, dxr * invr)
+        sLr = jnp.where(zr, 0.0, -dyr * invr)
+
+        def cdd(c_a, s_a, c_b, s_b, c_c, s_c, c_d, s_d):
+            cab = c_a * c_b + s_a * s_b
+            sab = s_a * c_b - c_a * s_b
+            ccd = c_c * c_d + s_c * s_d
+            scd = s_c * c_d - c_c * s_d
+            return cab * ccd + sab * scd
+
+        t2 = cdd(lc[:, :, None], ls[:, :, None], cLl, sLl,
+                 rc[:, :, None], rs[:, :, None], cLr, sLr) >= _COS_PI_6
+        t3 = cdd(lc[:, None, :], ls[:, None, :], cLl, sLl,
+                 rc[:, None, :], rs[:, None, :], cLr, sLr) >= _COS_PI_6
+
+        s1f = sel1.astype(jnp.float32)
+        selpairf = s1f[:, None, :] * s1f[:, :, None] * neyef[None]
+        H2f = (t1 & t2 & t3).astype(jnp.float32) * selpairf
+
+        n2 = jnp.sum(s1f, axis=1, keepdims=True)
+        b2 = jnp.where(sel1, 1.0 / jnp.maximum(n2, 1.0), 0.0)
+        S2 = _power_iter(H2f, b2, 5)
+
+        bad2f = jnp.minimum(conflictf
+                            + (H2f < 0.5).astype(jnp.float32), 1.0) * neyef[None]
+        elig2 = sel1 & (S2 >= 1e-3)
+        sel2 = _greedy_rounds(S2, _blockers(S2, bad2f, elig2, idx_f), elig2)
+
+        score_ref[...] = jnp.sum(jnp.where(sel2, val, 0.0), axis=1,
+                                 keepdims=True)
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("lookup", "dist_iters", "tile",
+                                    "interpret"))
+def fused_graph_filter(val, lxy, lori, rxy, rori, li, ri, valid,
+                       lookup: bool, dist_iters: int, tile: int = 8,
+                       interpret: bool = False) -> jnp.ndarray:
+    """Both graph-consistency stages + greedy selection as one kernel.
+
+    All inputs are per-correspondence-set arrays [NP, K] (coordinates and
+    orientations already gathered at the correspondence slots). Returns the
+    filtered match scores [NP] f32. Internally: distance H + power
+    iterations + parallel-greedy rounds + angle H + power + greedy, all in
+    VMEM — the XLA formulation dispatches dozens of small [NP, K, K] ops
+    per gallery block, this kernel runs them as straight-line VPU code per
+    tile of ``tile`` correspondence sets.
+    """
+    NP, K = val.shape
+    pad = (-NP) % tile
+    lx, ly = lxy[..., 0], lxy[..., 1]
+    rx, ry = rxy[..., 0], rxy[..., 1]
+    lc, ls = jnp.cos(lori), jnp.sin(lori)
+    rc, rs = jnp.cos(rori), jnp.sin(rori)
+    lif = li.astype(jnp.float32)
+    rif = ri.astype(jnp.float32)
+    validf = valid.astype(jnp.float32)
+
+    arrays = [val, lx, ly, lc, ls, rx, ry, rc, rs, lif, rif, validf]
+    if pad:
+        arrays = [jnp.concatenate([a, jnp.zeros((pad, K), jnp.float32)])
+                  for a in arrays]
+    NPp = NP + pad
+
+    kernel = _make_filter_kernel(lookup, dist_iters, K)
+    grid = (NPp // tile,)
+    spec = pl.BlockSpec((tile, K), lambda t: (t, 0))
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec] * len(arrays),
+        out_specs=pl.BlockSpec((tile, 1), lambda t: (t, 0)),
+        out_shape=jax.ShapeDtypeStruct((NPp, 1), jnp.float32),
+        interpret=interpret,
+    )(*arrays)
+    return out[:NP, 0]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("lookup", "dist_iters", "tile",
+                                    "interpret"))
+def fused_graph_filter_packed(val, gl, gr, li, ri, valid, lookup: bool,
+                              dist_iters: int, tile: int = 0,
+                              interpret: bool = False) -> jnp.ndarray:
+    """fused_graph_filter taking packed gathered operands.
+
+    ``gl`` / ``gr`` are [NP, K, 4] = (x, y, cos ori, sin ori) gathered at
+    the correspondence slots (one wide gather per side at the call site
+    instead of five elementwise ones).
+    """
+    NP, K = val.shape
+    if tile == 0:
+        # keep the ~10 live [tile, K, K] f32 arrays within VMEM
+        tile = 16 if K <= 128 else 8
+    pad = (-NP) % tile
+    lx, ly, lc, ls = (gl[..., j] for j in range(4))
+    rx, ry, rc, rs = (gr[..., j] for j in range(4))
+    arrays = [val, lx, ly, lc, ls, rx, ry, rc, rs,
+              li.astype(jnp.float32), ri.astype(jnp.float32),
+              valid.astype(jnp.float32)]
+    if pad:
+        arrays = [jnp.concatenate([a, jnp.zeros((pad, K), jnp.float32)])
+                  for a in arrays]
+    NPp = NP + pad
+
+    kernel = _make_filter_kernel(lookup, dist_iters, K)
+    spec = pl.BlockSpec((tile, K), lambda t: (t, 0))
+    out = pl.pallas_call(
+        kernel,
+        grid=(NPp // tile,),
+        in_specs=[spec] * len(arrays),
+        out_specs=pl.BlockSpec((tile, 1), lambda t: (t, 0)),
+        out_shape=jax.ShapeDtypeStruct((NPp, 1), jnp.float32),
+        interpret=interpret,
+    )(*arrays)
+    return out[:NP, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_adc_rowmax(x: jnp.ndarray, lat_sqnorm: jnp.ndarray,
+                     dect: jnp.ndarray, rol_sqnorm: jnp.ndarray,
+                     rol_valid: jnp.ndarray,
+                     interpret: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Row maxima of the ADC similarity without materializing it.
+
+    x: [NL, Lt, D] latent texture descriptors (compute dtype)
+    lat_sqnorm: [NL, Lt] f32; dect: [B, D, Rt]; rol_sqnorm: [B, Rt] f32
+    rol_valid: [B, Rt] f32 (1.0 valid / 0.0 invalid)
+    Returns best [NL, B, Lt] f32 and argmax bestj [NL, B, Lt] i32; rows with
+    no valid rolled minutiae come back <= NEG_BIG.
+    """
+    NL, Lt, D = x.shape
+    B, D2, Rt = dect.shape
+    assert D == D2
+    lsq = lat_sqnorm.reshape(NL, 1, Lt)
+    rsq = rol_sqnorm.reshape(B, 1, Rt)
+    tva = rol_valid.astype(jnp.float32).reshape(B, 1, Rt)
+
+    best, bestj = pl.pallas_call(
+        _adc_rowmax_kernel,
+        grid=(NL, B),
+        in_specs=[
+            pl.BlockSpec((None, Lt, D), lambda n, b: (n, 0, 0)),
+            pl.BlockSpec((None, 1, Lt), lambda n, b: (n, 0, 0)),
+            pl.BlockSpec((None, D, Rt), lambda n, b: (b, 0, 0)),
+            pl.BlockSpec((None, 1, Rt), lambda n, b: (b, 0, 0)),
+            pl.BlockSpec((None, 1, Rt), lambda n, b: (b, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, None, 1, Lt), lambda n, b: (n, b, 0, 0)),
+            pl.BlockSpec((None, None, 1, Lt), lambda n, b: (n, b, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((NL, B, 1, Lt), jnp.float32),
+            jax.ShapeDtypeStruct((NL, B, 1, Lt), jnp.int32),
+        ],
+        interpret=interpret,
+    )(x, lsq, dect, rsq, tva)
+    return best[:, :, 0, :], bestj[:, :, 0, :]

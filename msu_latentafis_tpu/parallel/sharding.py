@@ -66,10 +66,13 @@ def shard_gallery(engine: MatchEngine, packed: PackedGallery,
     return engine.maybe_predecode(gal, n_subs=S)
 
 
-def match_sharded(engine: MatchEngine, latent: "PackedLatent",
-                  gallery: DeviceGallery, mesh: Mesh) -> jax.Array:
-    """Scores [G] with the gallery axis sharded across the mesh."""
-    lat = engine._latent_dict(latent)
+def match_sharded(engine: MatchEngine, latent, gallery: DeviceGallery,
+                  mesh: Mesh) -> jax.Array:
+    """Scores [G] (or [NL, G] for a latent batch) with the gallery axis
+    sharded across the mesh."""
+    single = not isinstance(latent, (list, tuple))
+    lats = [latent] if single else list(latent)
+    lat = engine._latent_dict(lats)
     gal = engine._gallery_dict(gallery)
 
     lat_specs = jax.tree.map(lambda _: P(), lat)
@@ -77,11 +80,12 @@ def match_sharded(engine: MatchEngine, latent: "PackedLatent",
 
     @functools.partial(shard_map, mesh=mesh,
                        in_specs=(lat_specs, gal_specs),
-                       out_specs=P(GALLERY_AXIS))
+                       out_specs=P(None, GALLERY_AXIS))
     def local_match(lat_, gal_):
         return engine._match_all(lat_, gal_)
 
-    return jax.jit(local_match)(lat, gal)
+    out = jax.jit(local_match)(lat, gal)
+    return out[0] if single else out
 
 
 def topk_collective(scores: jax.Array, k: int, mesh: Mesh) -> Tuple[jax.Array, jax.Array]:
