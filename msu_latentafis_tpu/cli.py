@@ -52,7 +52,11 @@ def cmd_extract_latent(args) -> int:
         if not args.i and os.path.exists(out):   # resume-by-skip
             continue
         t0 = time.perf_counter()
-        template = extractor.extract_file(f)
+        try:
+            template = extractor.extract_file(f)
+        except Exception as e:    # skip-and-continue like the reference
+            print(f"{f}: extraction FAILED ({type(e).__name__}: {e}); skipping")
+            continue
         print(f"{f}: extracted in {time.perf_counter() - t0:.2f}s "
               f"({extractor.timings})")
         write_template(out, template, is_latent=True)
@@ -86,7 +90,11 @@ def cmd_extract_rolled(args) -> int:
         if os.path.exists(out):
             continue
         t0 = time.perf_counter()
-        template = extractor.extract_file(f)
+        try:
+            template = extractor.extract_file(f)
+        except Exception as e:
+            print(f"{f}: extraction FAILED ({type(e).__name__}: {e}); skipping")
+            continue
         print(f"{f}: extracted in {time.perf_counter() - t0:.2f}s")
         write_template(out, template, is_latent=False)
         t = read_template(out, is_latent=False)

@@ -75,6 +75,40 @@ def pad_to_multiple(img: jnp.ndarray, multiple: int = 32) -> Tuple[jnp.ndarray, 
     return jnp.pad(img, pad), h, w
 
 
+def gaussian_blend_weights(h: int, w: int, sigma=None) -> np.ndarray:
+    """Center-weighted blending window (enhancement_AEC.get_weights,
+    :405-413: sigma defaults to (max(h,w)/3)^2)."""
+    Y, X = np.mgrid[0:h, 0:w]
+    x0, y0 = w // 2, h // 2
+    if sigma is None:
+        sigma = (max(h, w) / 3.0) ** 2
+    return np.exp(-((X - x0) ** 2 + (Y - y0) ** 2) / sigma)
+
+
+def enhance_tiled(apply_fn, variables, img: np.ndarray,
+                  patch: int = 128) -> np.ndarray:
+    """Tiled inference with Gaussian-window overlap-add blending
+    (ImportGraph.run, enhancement_AEC.py:39-66): 128x128 patches at stride
+    64, batched through the net in one call, min-max rescaled to [0, 255]."""
+    img = np.asarray(img, np.float32)
+    h, w = img.shape
+    stride = patch // 2
+    ys = list(range(0, max(h - patch, 0) + 1, stride))
+    xs = list(range(0, max(w - patch, 0) + 1, stride))
+    tiles = np.stack([img[y:y + patch, x:x + patch]
+                      for y in ys for x in xs])[..., None]
+    out = np.asarray(apply_fn(variables, jnp.asarray(tiles)))[..., 0]
+    weight = gaussian_blend_weights(patch, patch)
+    canvas = np.zeros((h, w), np.float64)
+    i = 0
+    for y in ys:
+        for x in xs:
+            canvas[y:y + patch, x:x + patch] += out[i] * weight
+            i += 1
+    lo, hi = canvas.min(), canvas.max()
+    return (canvas - lo) / (hi - lo + 1e-9) * 255.0
+
+
 def enhance_whole_image(apply_fn, variables, img: np.ndarray) -> np.ndarray:
     """Whole-image inference matching ImportGraph.run_whole_image
     (enhancement_AEC.py:89-104): x/128 - 1 in, min-max rescale to [0, 255]

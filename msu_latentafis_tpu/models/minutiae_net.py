@@ -68,6 +68,35 @@ class MinutiaeUNet(nn.Module):
         return nn.relu(x)
 
 
+def detect_minutiae_tiled(apply_fn, variables, img: np.ndarray,
+                          minu_thr: float = 0.2, patch: int = 128) -> np.ndarray:
+    """Tiled minutiae inference with Gaussian blending and 10-px tile-border
+    zeroing (ImportGraph.run, minutiae_AEC.py:42-74), then the v1 decoder."""
+    from ..ops.minutiae import (refine_minutiae, remove_crowded_minutiae)
+    from ..ops.minutiae import decode_minutiae
+    from .enhancement import gaussian_blend_weights
+    img = np.asarray(img, np.float32)
+    h, w = img.shape
+    stride = patch // 2
+    ys = list(range(0, max(h - patch, 0) + 1, stride))
+    xs = list(range(0, max(w - patch, 0) + 1, stride))
+    tiles = np.stack([img[y:y + patch, x:x + patch]
+                      for y in ys for x in xs])[..., None] / 128.0 - 1.0
+    out = np.array(apply_fn(variables, jnp.asarray(tiles)))     # [N,P,P,12]
+    out[:, :10, :, :] = 0
+    out[:, -10:, :, :] = 0
+    out[:, :, :10, :] = 0
+    out[:, :, -10:, :] = 0
+    weight = gaussian_blend_weights(patch, patch)[:, :, None]
+    canvas = np.zeros((h, w, out.shape[-1]), np.float64)
+    i = 0
+    for y in ys:
+        for x in xs:
+            canvas[y:y + patch, x:x + patch] += out[i] * weight
+            i += 1
+    return decode_minutiae(canvas, thr=minu_thr)
+
+
 def detect_minutiae_whole_image(apply_fn, variables, img: np.ndarray,
                                 minu_thr: float = 0.2) -> np.ndarray:
     """Whole-image minutiae detection: x/128-1 normalize, FCN forward, crop,

@@ -37,23 +37,25 @@ def _variables(state):
 
 
 def pretrain_minutiae(steps: int = 300, batch: int = 16, size: int = 128,
-                      nf: int = 64, seed: int = 0, log_every: int = 50):
+                      nf: int = 64, seed: int = 0, log_every: int = 50,
+                      pool: int = 256):
     rng = np.random.default_rng(seed)
     model = MinutiaeAEC(nf=nf)
     key = jax.random.PRNGKey(seed)
     state = create_train_state(model, key, jnp.zeros((batch, size, size, 1)))
     step_fn = jax.jit(l2_train_step)
+    print("generating minutiae training pool...", flush=True)
+    data = [synthetic_minutiae_sample(rng, size=size,
+                                      n_minutiae=int(rng.integers(4, 14)))
+            for _ in range(pool)]
+    xs_all = np.stack([d[0] for d in data]) / 128.0 - 1.0
+    ys_all = np.stack([d[1] for d in data])
     for i in range(steps):
-        xs, ys = [], []
-        for _ in range(batch):
-            img, cyl, _ = synthetic_minutiae_sample(rng, size=size,
-                                                    n_minutiae=int(rng.integers(4, 14)))
-            xs.append(img / 128.0 - 1.0)
-            ys.append(cyl)
-        state, loss = step_fn(state, jnp.asarray(np.stack(xs)),
-                              jnp.asarray(np.stack(ys)))
+        idx = rng.integers(0, pool, batch)
+        state, loss = step_fn(state, jnp.asarray(xs_all[idx]),
+                              jnp.asarray(ys_all[idx]))
         if i % log_every == 0:
-            print(f"minutiae step {i}: loss {float(loss):.1f}")
+            print(f"minutiae step {i}: loss {float(loss):.1f}", flush=True)
     return model, _variables(state)
 
 
@@ -64,19 +66,22 @@ def pretrain_enhancement(steps: int = 300, batch: int = 16, size: int = 128,
     key = jax.random.PRNGKey(seed)
     state = create_train_state(model, key, jnp.zeros((batch, size, size, 1)))
     step_fn = jax.jit(l2_train_step)
-    aug_keys = jax.random.split(key, steps * batch).reshape(steps, batch, -1)
+    print("generating enhancement training pool...", flush=True)
+    pool = 256
+    data = [synthetic_enhancement_sample(rng, size=size) for _ in range(pool)]
+    raws = np.stack([d[0] for d in data])
+    targets = np.stack([d[1] for d in data])
+    # host-side degradation: brightness/contrast jitter + box blur
     for i in range(steps):
-        xs, ys = [], []
-        for b in range(batch):
-            raw, target = synthetic_enhancement_sample(rng, size=size)
-            xin, _ = make_training_pair(aug_keys[i, b], jnp.asarray(raw),
-                                        jnp.asarray(target), crop=size)
-            xs.append(np.asarray(xin))
-            ys.append(target)
-        state, loss = step_fn(state, jnp.asarray(np.stack(xs)),
-                              jnp.asarray(np.stack(ys)))
+        idx = rng.integers(0, pool, batch)
+        x = raws[idx].copy()
+        x += (rng.random((batch, 1, 1, 1)) - 0.5) * 50.0
+        x *= rng.random((batch, 1, 1, 1)) + 0.5
+        x = x / 128.0 - 1.0
+        state, loss = step_fn(state, jnp.asarray(x, jnp.float32),
+                              jnp.asarray(targets[idx]))
         if i % log_every == 0:
-            print(f"enhancement step {i}: loss {float(loss):.1f}")
+            print(f"enhancement step {i}: loss {float(loss):.1f}", flush=True)
     return model, _variables(state)
 
 
@@ -86,11 +91,14 @@ def pretrain_descriptor(steps: int = 200, seed: int = 0, log_every: int = 50):
     key = jax.random.PRNGKey(seed)
     state = create_train_state(model, key, jnp.zeros((8, 96, 96, 1)))
     step_fn = jax.jit(triplet_train_step)
+    print("generating descriptor training pool...", flush=True)
+    pool = [synthetic_descriptor_batch(rng, n_ids=8, samples_per_id=4)
+            for _ in range(32)]
     for i in range(steps):
-        x, y = synthetic_descriptor_batch(rng, n_ids=8, samples_per_id=4)
+        x, y = pool[int(rng.integers(0, len(pool)))]
         state, loss = step_fn(state, jnp.asarray(x), jnp.asarray(y))
         if i % log_every == 0:
-            print(f"descriptor step {i}: loss {float(loss):.3f}")
+            print(f"descriptor step {i}: loss {float(loss):.3f}", flush=True)
     return model, _variables(state)
 
 

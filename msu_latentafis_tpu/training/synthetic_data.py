@@ -53,6 +53,28 @@ def render_ridge_image(rng: np.random.Generator, h: int = 512, w: int = 512,
     return np.clip(img + noise, 0, 255), theta
 
 
+def cylinder_target_np(minutiae: np.ndarray, h: int, w: int,
+                       num_ori: int = 12) -> np.ndarray:
+    """Pure-NumPy minutiae-cylinder target (same math as ops.cylinder, which
+    is the jitted in-pipeline version) — used by host-side data generation
+    so training data never bounces off the accelerator."""
+    sigma2 = 25.0
+    out = np.zeros((h, w, num_ori), np.float32)
+    if len(minutiae) == 0:
+        return out
+    Y, X = np.mgrid[0:h, 0:w].astype(np.float32)
+    ch = np.arange(num_ori) * 2 * np.pi / num_ori
+    for x, y, ori in np.asarray(minutiae)[:, :3]:
+        if x < 0 or y < 0:
+            continue
+        ori = ori % (2 * np.pi)
+        spatial = np.exp(-((X - x) ** 2 + (Y - y) ** 2) / sigma2)
+        od = np.abs(ori - ch)
+        od = np.minimum(od, 2 * np.pi - od)
+        out += spatial[:, :, None] * np.exp(-od / np.pi * 6.0)[None, None, :]
+    return out
+
+
 def synthetic_minutiae_sample(rng: np.random.Generator, size: int = 128,
                               n_minutiae: int = 8, num_ori: int = 12):
     """(image [size,size,1] raw units, cylinder target [size,size,12]).
@@ -77,9 +99,8 @@ def synthetic_minutiae_sample(rng: np.random.Generator, size: int = 128,
         along = (xx - x) * np.cos(-o) + (yy - y) * np.sin(-o)
         wedge = (along > 0) & (d2 < 15 ** 2)
         img[wedge] = 0.5 * img[wedge] + 0.5 * 200.0
-    cyl = make_cylinder_target(minutiae, size, size, num_ori=num_ori,
-                               max_minutiae=max(8, n_minutiae))
-    return img[:, :, None].astype(np.float32), cyl.astype(np.float32) , minutiae
+    cyl = cylinder_target_np(minutiae, size, size, num_ori=num_ori)
+    return img[:, :, None].astype(np.float32), cyl, minutiae
 
 
 def synthetic_enhancement_sample(rng: np.random.Generator, size: int = 128):
