@@ -60,7 +60,7 @@ def get_patch_index(patch_size: int = PATCH_WINDOW, ori_num: int = ORI_NUM,
     return np.asarray(xs, np.int32), np.asarray(ys, np.int32)
 
 
-def _bilinear_resize(patches: jnp.ndarray, out: int) -> jnp.ndarray:
+def _bilinear_resize(patches: np.ndarray, out: int) -> np.ndarray:
     """cv2.INTER_LINEAR-compatible resize of [N, H, W] -> [N, out, out]."""
     n, h, w = patches.shape
     sy, sx = h / out, w / out
@@ -70,8 +70,8 @@ def _bilinear_resize(patches: jnp.ndarray, out: int) -> jnp.ndarray:
     x0 = np.clip(np.floor(fx).astype(int), 0, w - 1)
     y1 = np.clip(y0 + 1, 0, h - 1)
     x1 = np.clip(x0 + 1, 0, w - 1)
-    wy = jnp.asarray(np.clip(fy - y0, 0, 1), jnp.float32)
-    wx = jnp.asarray(np.clip(fx - x0, 0, 1), jnp.float32)
+    wy = np.clip(fy - y0, 0, 1).astype(np.float32)
+    wx = np.clip(fx - x0, 0, 1).astype(np.float32)
     a = patches[:, y0][:, :, x0]
     b = patches[:, y0][:, :, x1]
     c = patches[:, y1][:, :, x0]
@@ -82,14 +82,20 @@ def _bilinear_resize(patches: jnp.ndarray, out: int) -> jnp.ndarray:
 
 
 def extract_patches(minutiae: np.ndarray, img, patch_type: int = 1,
-                    patch_size: int = 96) -> jnp.ndarray:
+                    patch_size: int = 96) -> np.ndarray:
     """Aligned patches [N, patch_size, patch_size] for all minutiae.
 
     Matches descriptor.extract_patches (:118-160): per-minutia nearest of 64
     rotation grids by -ori, clamped advanced-index gather, crop by patch
     type, bilinear resize when smaller than patch_size.
+
+    Runs on the host: the minutiae count is data-dependent, so a device
+    formulation would trigger a fresh XLA compile per count; NumPy fancy
+    indexing does the few-million-element gather in milliseconds and the
+    resulting fixed-size patches feed the (statically shaped) descriptor
+    net batches on device.
     """
-    img = jnp.asarray(img, jnp.float32)
+    img = np.asarray(img, np.float32)
     h, w = img.shape[:2]
     gx, gy = get_patch_index()
 
@@ -110,9 +116,7 @@ def extract_patches(minutiae: np.ndarray, img, patch_type: int = 1,
     xv = np.clip(xv, 0, w - 1)
     yv = np.clip(yv, 0, h - 1)
 
-    patches = img[jnp.asarray(yv), jnp.asarray(xv)]
-    if patches.shape[1] < patch_size or patches.shape[2] < patch_size:
-        patches = _bilinear_resize(patches, patch_size)
-    elif patches.shape[1] > patch_size:
+    patches = img[yv, xv]
+    if patches.shape[1] != patch_size:
         patches = _bilinear_resize(patches, patch_size)
     return patches

@@ -29,17 +29,26 @@ def _assign(x: jnp.ndarray, centroids: jnp.ndarray) -> jnp.ndarray:
     return jnp.argmin(d2, axis=1).astype(jnp.int32)
 
 
-def pq_encode(des: np.ndarray, codebook: np.ndarray) -> np.ndarray:
-    """Encode [N, M*Ds] descriptors -> uint8 codes [N, M]."""
+def pq_encode(des: np.ndarray, codebook: np.ndarray,
+              pad_to: int = 1024) -> np.ndarray:
+    """Encode [N, M*Ds] descriptors -> uint8 codes [N, M].
+
+    Rows are padded to a multiple of ``pad_to`` so the jitted assignment
+    compiles for a handful of bucket shapes instead of once per template's
+    minutiae count.
+    """
     n_subs, n_clusters, sub_dim = codebook.shape
     des = np.asarray(des, np.float32)
     N, D = des.shape
     assert D == n_subs * sub_dim, f"{D} != {n_subs}*{sub_dim}"
-    codes = np.empty((N, n_subs), np.uint8)
+    Np = ((N + pad_to - 1) // pad_to) * pad_to
+    if Np != N:
+        des = np.concatenate([des, np.zeros((Np - N, D), np.float32)])
+    codes = np.empty((Np, n_subs), np.uint8)
     for m in range(n_subs):
         sub = jnp.asarray(des[:, m * sub_dim:(m + 1) * sub_dim])
         codes[:, m] = np.asarray(_assign(sub, jnp.asarray(codebook[m])))
-    return codes
+    return codes[:N]
 
 
 def pq_decode(codes: np.ndarray, codebook: np.ndarray) -> np.ndarray:

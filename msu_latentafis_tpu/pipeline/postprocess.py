@@ -25,24 +25,23 @@ from .models_bundle import ModelBundle
 
 def compress_template(models: ModelBundle, template) -> None:
     """DR all descriptor matrices in a Template in place."""
+    def resolve(des):
+        if des is None:
+            return None
+        if isinstance(des, (list, tuple)):
+            if len(des) == 0:
+                return None
+            des = np.concatenate([np.asarray(d) for d in des], axis=1)
+        return des if len(des) else None
+
     for mt in template.minu_template:
-        if mt.des is None:
-            continue
-        des = mt.des
-        if isinstance(des, (list, tuple)):
-            des = np.concatenate([np.asarray(d) for d in des], axis=1)
-        if len(des) == 0:
-            continue
-        mt.des = models.compress(np.asarray(des, np.float32))
+        des = resolve(mt.des)
+        if des is not None:
+            mt.des = models.compress(np.asarray(des, np.float32))
     for tt in template.texture_template:
-        if tt.des is None:
-            continue
-        des = tt.des
-        if isinstance(des, (list, tuple)):
-            des = np.concatenate([np.asarray(d) for d in des], axis=1)
-        if len(des) == 0:
-            continue
-        tt.des = models.compress(np.asarray(des, np.float32))
+        des = resolve(tt.des)
+        if des is not None:
+            tt.des = models.compress(np.asarray(des, np.float32))
 
 
 def template_compression(models: ModelBundle, input_dir: str,

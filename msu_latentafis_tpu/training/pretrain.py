@@ -45,9 +45,13 @@ def pretrain_minutiae(steps: int = 300, batch: int = 16, size: int = 128,
     state = create_train_state(model, key, jnp.zeros((batch, size, size, 1)))
     step_fn = jax.jit(l2_train_step)
     print("generating minutiae training pool...", flush=True)
+    # mix of deployment input domains: STFT-enhanced (latent path),
+    # cartoon-texture (rolled path), and raw ridge imagery
+    domains = ["stft", "stft", "cartoon", "none"]
     data = [synthetic_minutiae_sample(rng, size=size,
-                                      n_minutiae=int(rng.integers(4, 14)))
-            for _ in range(pool)]
+                                      n_minutiae=int(rng.integers(4, 14)),
+                                      preprocess=domains[i % len(domains)])
+            for i in range(pool)]
     xs_all = np.stack([d[0] for d in data]) / 128.0 - 1.0
     ys_all = np.stack([d[1] for d in data])
     for i in range(steps):
@@ -67,9 +71,13 @@ def pretrain_enhancement(steps: int = 300, batch: int = 16, size: int = 128,
     state = create_train_state(model, key, jnp.zeros((batch, size, size, 1)))
     step_fn = jax.jit(l2_train_step)
     print("generating enhancement training pool...", flush=True)
+    from ..ops.fft import stft_enhance
     pool = 256
     data = [synthetic_enhancement_sample(rng, size=size) for _ in range(pool)]
-    raws = np.stack([d[0] for d in data])
+    # inputs live in the STFT-enhanced domain (the pipeline feeds the AEC
+    # the STFT texture image); target is the clean ridge structure
+    raws = np.stack([np.asarray(stft_enhance(d[0][:, :, 0]), np.float32)[:, :, None]
+                     for d in data])
     targets = np.stack([d[1] for d in data])
     # host-side degradation: brightness/contrast jitter + box blur
     for i in range(steps):

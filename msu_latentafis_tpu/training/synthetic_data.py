@@ -76,12 +76,13 @@ def cylinder_target_np(minutiae: np.ndarray, h: int, w: int,
 
 
 def synthetic_minutiae_sample(rng: np.random.Generator, size: int = 128,
-                              n_minutiae: int = 8, num_ori: int = 12):
+                              n_minutiae: int = 8, num_ori: int = 12,
+                              preprocess: str = "none"):
     """(image [size,size,1] raw units, cylinder target [size,size,12]).
 
-    Minutiae are synthesized as ridge-phase dislocations: a spiral phase
-    term around each minutia point creates a genuine ridge ending at that
-    location with the chosen orientation.
+    ``preprocess`` applies the same normalization the inference pipeline
+    feeds the detector ('stft' for the latent STFT path, 'cartoon' for the
+    rolled texture path) so the stand-in trains in its deployment domain.
     """
     img, theta = render_ridge_image(rng, size, size,
                                     spacing=float(rng.uniform(7, 11)))
@@ -99,6 +100,12 @@ def synthetic_minutiae_sample(rng: np.random.Generator, size: int = 128,
         along = (xx - x) * np.cos(-o) + (yy - y) * np.sin(-o)
         wedge = (along > 0) & (d2 < 15 ** 2)
         img[wedge] = 0.5 * img[wedge] + 0.5 * 200.0
+    if preprocess == "stft":
+        from ..ops.fft import stft_enhance
+        img = np.asarray(stft_enhance(img), np.float64)
+    elif preprocess == "cartoon":
+        from ..ops.fft import fast_cartoon_texture
+        img = np.asarray(fast_cartoon_texture(img), np.float64)
     cyl = cylinder_target_np(minutiae, size, size, num_ori=num_ori)
     return img[:, :, None].astype(np.float32), cyl, minutiae
 

@@ -1,0 +1,3 @@
+from . import synthetic, timing, cache, logging
+
+__all__ = ["synthetic", "timing", "cache", "logging"]
