@@ -118,14 +118,15 @@ def _load_gallery(engine, gallery_dir: str):
     names = [os.path.splitext(os.path.basename(f))[0] for f in files]
     templates = [read_final_template(f, kind="rolled") for f in files]
     packed = pack_gallery(templates, engine.codebook, names=names)
-    return engine.load_gallery(packed)
+    return engine.load_gallery(packed), dict(zip(names, files))
 
 
 def cmd_match(args) -> int:
     import jax.numpy as jnp
     from .utils.cache import enable_compilation_cache
     enable_compilation_cache()
-    from .matcher.engine import MatchEngine, write_rank_csv, write_score_csv
+    from .matcher.engine import (MatchEngine, write_corr_files,
+                                 write_rank_csv, write_score_csv)
     from .templates import read_codebook, read_final_template
     from .templates.packing import pack_latent
 
@@ -139,7 +140,7 @@ def cmd_match(args) -> int:
                          compute_dtype=jnp.bfloat16
                          if cfg.ComputeDtype == "bfloat16" else jnp.float32)
     t0 = time.perf_counter()
-    gallery = _load_gallery(engine, args.gallery)
+    gallery, gallery_files = _load_gallery(engine, args.gallery)
     print(f"Gallery size: {gallery.n_real} "
           f"(loaded in {time.perf_counter() - t0:.2f}s)")
 
@@ -162,6 +163,12 @@ def cmd_match(args) -> int:
             print("Rank     Filename      Score")
             for r, (n, s) in enumerate(result.ranked(24), 1):
                 print(f"{r:<8} {n:<12} {s:.3f}")
+            # correspondence files for the top-24 candidates
+            # (matcher.cpp:305-330)
+            for n, _ in result.ranked(24):
+                rolled = read_final_template(gallery_files[n], kind="rolled")
+                write_corr_files(t, rolled, engine.codebook,
+                                 os.path.join(score_dir, f"corr{name}_{n}"))
         else:
             write_score_csv(os.path.join(score_dir, name + ".csv"), result)
     return 0

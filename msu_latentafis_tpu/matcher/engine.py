@@ -457,3 +457,26 @@ def write_rank_csv(path: str, result: MatchResult, top_k: int = 24) -> None:
         f.write("filename,score\n")
         for rank, (name, score) in enumerate(result.ranked(top_k), start=1):
             f.write(f"{rank}{name},{score}\n")
+
+
+def write_corr_files(latent, rolled, codebook: np.ndarray, prefix: str) -> List[str]:
+    """Write the surviving minutiae correspondences for one latent/rolled
+    pair as ``<prefix>_<i>.csv`` (one per selected latent minutiae template,
+    rows ``lx,ly,rx,ry``) — the reference's save_corr output for the top-24
+    candidates (matcher.cpp:305-330, :405-406, :497-506).
+
+    ``latent``/``rolled`` are in-memory Templates (templates.data_model);
+    returns the list of files written."""
+    from .reference_impl import one2one_selected_scores
+    out = one2one_selected_scores(latent, rolled, codebook, return_corr=True)
+    written: List[str] = []
+    if out is None:
+        return written
+    _, corrs = out
+    for i, corr in enumerate(corrs):
+        path = f"{prefix}_{i}.csv"
+        with open(path, "w") as f:
+            for lx, ly, rx, ry in corr:
+                f.write(f"{lx:g},{ly:g},{rx:g},{ry:g}\n")
+        written.append(path)
+    return written

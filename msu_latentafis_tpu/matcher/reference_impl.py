@@ -169,11 +169,15 @@ def lss_r_fast2_angle(corr: List[Corr], lat_xy, lat_ori, rol_xy, rol_ori) -> Lis
     return _greedy_select(S, corr, compat, thr=1e-3)
 
 
-def one2one_minutiae_matching(lat_des, lat_xy, lat_ori, rol_des, rol_xy, rol_ori) -> float:
-    """Uncompressed-descriptor minutiae matching (matcher.cpp:420-516)."""
+def one2one_minutiae_matching(lat_des, lat_xy, lat_ori, rol_des, rol_xy, rol_ori,
+                              return_corr: bool = False):
+    """Uncompressed-descriptor minutiae matching (matcher.cpp:420-516).
+
+    With ``return_corr`` also returns the surviving correspondences as the
+    reference's save_corr path does (matcher.cpp:497-506)."""
     nl, nr = len(lat_des), len(rol_des)
     if nl == 0 or nr == 0:
-        return 0.0
+        return (0.0, []) if return_corr else 0.0
     simi = (np.asarray(lat_des, np.float32) @ np.asarray(rol_des, np.float32).T)
     simi = np.maximum(simi, 0.0)
     row = simi.sum(axis=1)
@@ -186,7 +190,8 @@ def one2one_minutiae_matching(lat_des, lat_xy, lat_ori, rol_des, rol_xy, rol_ori
 
     corr2 = lss_r_fast2_dist(corr, lat_xy, rol_xy, lookup=False, iters=5)
     corr3 = lss_r_fast2_angle(corr2, lat_xy, lat_ori, rol_xy, rol_ori)
-    return float(sum(c[0] for c in corr3))
+    score = float(sum(c[0] for c in corr3))
+    return (score, corr3) if return_corr else score
 
 
 def one2one_texture_matching(lat_dist_codewords, lat_xy, lat_ori,
@@ -214,31 +219,92 @@ def one2one_texture_matching(lat_dist_codewords, lat_xy, lat_ori,
     return float(sum(c[0] for c in corr3))
 
 
-def one2one_fused_score(latent, rolled, codebook,
-                        selected=MC.SELECTED_MINU_TEMPLATES) -> Optional[float]:
-    """Fused selected-template score for one latent/rolled Template pair
-    (matcher.cpp:376-417 + :188). Returns None when either side is empty."""
+def one2one_selected_scores(latent, rolled, codebook,
+                            selected=MC.SELECTED_MINU_TEMPLATES,
+                            return_corr: bool = False):
+    """Per-template score vector for the selected latent minutiae templates
+    plus the texture template (One2One_matching_selected_templates,
+    matcher.cpp:376-417).
+
+    Returns ``(scores, corrs)`` where ``scores[i]`` is the score of selected
+    minutiae template i and ``scores[-1]`` the texture score; ``corrs[i]``
+    (when ``return_corr``) is the surviving correspondence list
+    ``[(lx, ly, rx, ry), ...]`` for selected template i — exactly what the
+    reference writes to ``corr*_<i>.csv`` (matcher.cpp:405-406, :497-506).
+    Returns ``None`` when either side is empty (reference return codes 1/2).
+    """
     if len(latent.minu_template) <= selected[0] and not latent.texture_template:
         return None
     if not rolled.minu_template and not rolled.texture_template:
         return None
-    score = 0.0
-    for idx in selected:
+    scores = [0.0] * (len(selected) + 1)
+    corrs: List[List[Tuple[float, float, float, float]]] = [[] for _ in selected]
+    for i, idx in enumerate(selected):
         if idx >= len(latent.minu_template) or not rolled.minu_template:
             continue
         lt = latent.minu_template[idx]
         rt = rolled.minu_template[0]
         if lt.n_minutiae == 0 or rt.n_minutiae == 0:
             continue
-        score += one2one_minutiae_matching(
-            lt.des, np.asarray(lt.minutiae)[:, :2], np.asarray(lt.minutiae)[:, 2],
-            rt.des, np.asarray(rt.minutiae)[:, :2], np.asarray(rt.minutiae)[:, 2])
+        lxy = np.asarray(lt.minutiae)[:, :2]
+        rxy = np.asarray(rt.minutiae)[:, :2]
+        s, corr3 = one2one_minutiae_matching(
+            lt.des, lxy, np.asarray(lt.minutiae)[:, 2],
+            rt.des, rxy, np.asarray(rt.minutiae)[:, 2], return_corr=True)
+        scores[i] = s
+        corrs[i] = [(float(lxy[li, 0]), float(lxy[li, 1]),
+                     float(rxy[ri, 0]), float(rxy[ri, 1]))
+                    for _, li, ri in corr3]
     if latent.texture_template and rolled.texture_template:
         lt = latent.texture_template[0]
         rt = rolled.texture_template[0]
         if lt.n_minutiae and rt.n_minutiae:
             dists = compute_dist_to_codewords(lt.des, codebook)
-            score += MC.TEXTURE_SCORE_WEIGHT * one2one_texture_matching(
+            scores[-1] = one2one_texture_matching(
                 dists, np.asarray(lt.minutiae)[:, :2], np.asarray(lt.minutiae)[:, 2],
                 rt.des, np.asarray(rt.minutiae)[:, :2], np.asarray(rt.minutiae)[:, 2])
-    return float(score)
+    return (scores, corrs) if return_corr else (scores, None)
+
+
+def one2one_all_templates_scores(latent, rolled, codebook) -> Optional[List[float]]:
+    """Score vector over ALL latent minutiae templates (each vs rolled
+    template 0) followed by all latent texture templates
+    (One2One_matching_all_templates, matcher.cpp:339-374)."""
+    n_minu = len(latent.minu_template)
+    n_tex = len(latent.texture_template)
+    if n_minu <= 0 and n_tex <= 0:
+        return None
+    if not rolled.minu_template and not rolled.texture_template:
+        return None
+    scores = [0.0] * (n_minu + n_tex)
+    for i, lt in enumerate(latent.minu_template):
+        if not rolled.minu_template:
+            break
+        rt = rolled.minu_template[0]
+        if lt.n_minutiae == 0 or rt.n_minutiae == 0:
+            continue
+        scores[i] = one2one_minutiae_matching(
+            lt.des, np.asarray(lt.minutiae)[:, :2], np.asarray(lt.minutiae)[:, 2],
+            rt.des, np.asarray(rt.minutiae)[:, :2], np.asarray(rt.minutiae)[:, 2])
+    for i, lt in enumerate(latent.texture_template):
+        if not rolled.texture_template:
+            break
+        rt = rolled.texture_template[0]
+        if lt.n_minutiae == 0 or rt.n_minutiae == 0:
+            continue
+        dists = compute_dist_to_codewords(lt.des, codebook)
+        scores[n_minu + i] = one2one_texture_matching(
+            dists, np.asarray(lt.minutiae)[:, :2], np.asarray(lt.minutiae)[:, 2],
+            rt.des, np.asarray(rt.minutiae)[:, :2], np.asarray(rt.minutiae)[:, 2])
+    return scores
+
+
+def one2one_fused_score(latent, rolled, codebook,
+                        selected=MC.SELECTED_MINU_TEMPLATES) -> Optional[float]:
+    """Fused selected-template score for one latent/rolled Template pair
+    (matcher.cpp:376-417 + :188). Returns None when either side is empty."""
+    out = one2one_selected_scores(latent, rolled, codebook, selected)
+    if out is None:
+        return None
+    scores, _ = out
+    return float(sum(scores[:-1]) + MC.TEXTURE_SCORE_WEIGHT * scores[-1])

@@ -86,6 +86,57 @@ def test_engine_second_latent_same_shapes(setup):
     assert int(np.argmax(result.scores)) == 4
 
 
+def test_selected_scores_and_corr_files(setup, tmp_path):
+    """Selected-template score vector + save_corr output
+    (matcher.cpp:376-417, :497-506)."""
+    from msu_latentafis_tpu.matcher.engine import write_corr_files
+
+    rng, codebook, engine = setup
+    latent = make_latent_template(rng, n_minu=20, n_tex=60)
+    mate = make_rolled_template(rng, n_minu=40, n_tex=100,
+                                mated_latent=latent, codebook=codebook)
+
+    scores, corrs = spec.one2one_selected_scores(latent, mate, codebook,
+                                                 return_corr=True)
+    fused = spec.one2one_fused_score(latent, mate, codebook)
+    assert np.isclose(sum(scores[:-1]) + 0.3 * scores[-1], fused)
+
+    # each corr list re-sums to its template score (score = sum of surviving
+    # similarities; coordinates must come from the actual minutiae)
+    lat_sets = {(float(m[0]), float(m[1]))
+                for t in latent.minu_template for m in np.asarray(t.minutiae)}
+    for corr in corrs:
+        for lx, ly, rx, ry in corr:
+            assert (lx, ly) in lat_sets
+
+    prefix = str(tmp_path / "corr_good_mate")
+    files = write_corr_files(latent, mate, codebook, prefix)
+    assert files == [f"{prefix}_{i}.csv" for i in range(3)]
+    for f, corr in zip(files, corrs):
+        rows = [line.split(",") for line in open(f).read().splitlines()]
+        assert len(rows) == len(corr)
+        for row, expect in zip(rows, corr):
+            # %g == C++ operator<< default 6-sig-digit precision
+            np.testing.assert_allclose([float(v) for v in row], expect,
+                                       rtol=1e-5)
+
+
+def test_all_templates_scores(setup):
+    """One2One_matching_all_templates (matcher.cpp:339-374): per-template
+    vector whose selected entries agree with the selected-template path."""
+    rng, codebook, engine = setup
+    latent = make_latent_template(rng, n_minu=16, n_tex=40, n_minu_templates=28)
+    mate = make_rolled_template(rng, n_minu=30, n_tex=80,
+                                mated_latent=latent, codebook=codebook)
+    all_scores = spec.one2one_all_templates_scores(latent, mate, codebook)
+    assert len(all_scores) == len(latent.minu_template) + len(latent.texture_template)
+    sel, _ = spec.one2one_selected_scores(latent, mate, codebook)
+    from msu_latentafis_tpu.templates.data_model import MatcherConstants as MC
+    for i, idx in enumerate(MC.SELECTED_MINU_TEMPLATES):
+        assert np.isclose(all_scores[idx], sel[i])
+    assert np.isclose(all_scores[len(latent.minu_template)], sel[-1])
+
+
 def test_texture_matmul_equals_lut(rng):
     """The matmul ADC reformulation reproduces the LUT similarity exactly."""
     import jax.numpy as jnp
