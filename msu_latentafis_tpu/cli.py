@@ -81,17 +81,15 @@ def cmd_extract_rolled(args) -> int:
     extractor = RolledFeatureExtractor(models=models)
     codebook = read_codebook(cfg.CodebookPath) if cfg.CodebookPath else None
 
-    files = sorted(glob.glob(os.path.join(args.idir, "*.bmp"))
-                   + glob.glob(os.path.join(args.idir, "*.png")))
-    files = files[args.N1:args.N2]
-    for f in files:
-        name = os.path.splitext(os.path.basename(f))[0]
+    from .pipeline.rolled import enumerate_rolled_dataset
+    for f, name, ppi in enumerate_rolled_dataset(
+            args.idir, layout=args.layout, N1=args.N1, N2=args.N2):
         out = os.path.join(tdir, name + ".dat")
         if os.path.exists(out):
             continue
         t0 = time.perf_counter()
         try:
-            template = extractor.extract_file(f)
+            template = extractor.extract_file(f, ppi=ppi)
         except Exception as e:
             print(f"{f}: extraction FAILED ({type(e).__name__}: {e}); skipping")
             continue
@@ -193,6 +191,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     pr.add_argument("--tdir")
     pr.add_argument("--N1", type=int, default=0)
     pr.add_argument("--N2", type=int, default=10 ** 9)
+    pr.add_argument("--layout", default="flat",
+                    choices=["flat", "longitudinal", "msp", "n2n"],
+                    help="dataset layout (reference batch modes)")
     pr.add_argument("--config")
     pr.set_defaults(fn=cmd_extract_rolled)
 

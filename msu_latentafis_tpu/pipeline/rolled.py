@@ -93,3 +93,60 @@ class RolledFeatureExtractor:
         if img.ndim == 3:
             img = img @ np.array([0.299, 0.587, 0.114])
         return self.extract(img, ppi=ppi)
+
+
+# ---------------------------------------------------------------------------
+# Dataset layout enumerators (the reference's batch modes)
+# ---------------------------------------------------------------------------
+
+def enumerate_rolled_dataset(image_dir: str, layout: str = "flat",
+                             img_type: str = "bmp", N1: int = 0,
+                             N2: int = 10 ** 9):
+    """Yield ``(img_file, template_stem, ppi)`` for each image to enroll.
+
+    Layouts mirror the reference's batch modes
+    (/root/reference/extraction/extraction_rolled.py):
+
+    - ``flat``: sorted ``*.<img_type>`` in one directory, sliced [N1:N2]
+      (feature_extraction, :146-174);
+    - ``longitudinal``: per-subject directories, fingers 0-9, first five
+      impressions of each finger, template stem ``<subject>_<image>``
+      (feature_extraction_Longitudinal, :176-213);
+    - ``msp``: numbered ``<i>.bmp`` files for i in [N1, N2]
+      (feature_extraction_MSP, :215-234);
+    - ``n2n``: per-subject directories of ``*.png`` scanned at 1200 ppi
+      (feature_extraction_N2N, :236-262).
+    """
+    import glob as _glob
+    import os as _os
+
+    if layout == "flat":
+        files = sorted(_glob.glob(_os.path.join(image_dir, "*." + img_type)))
+        if img_type == "bmp":  # the CLI historically accepts png alongside
+            files = sorted(set(files) |
+                           set(_glob.glob(_os.path.join(image_dir, "*.png"))))
+        for f in files[N1:N2]:
+            yield f, _os.path.splitext(_os.path.basename(f))[0], 500
+    elif layout == "longitudinal":
+        subjects = sorted(_os.listdir(image_dir))[N1:N2]
+        for subject in subjects:
+            for finger_id in range(10):
+                imgs = sorted(_glob.glob(_os.path.join(
+                    image_dir, subject, f"*{finger_id}.bmp")))
+                if len(imgs) < 5:
+                    continue
+                for f in imgs[:5]:
+                    stem = subject + "_" + _os.path.splitext(_os.path.basename(f))[0]
+                    yield f, stem, 500
+    elif layout == "msp":
+        for i in range(N1, N2 + 1):
+            f = _os.path.join(image_dir, f"{i}.bmp")
+            if _os.path.exists(f):
+                yield f, str(i), 500
+    elif layout == "n2n":
+        subject_paths = sorted(_glob.glob(_os.path.join(image_dir, "*")))[N1:N2]
+        for sp in subject_paths:
+            for f in sorted(_glob.glob(_os.path.join(sp, "*.png"))):
+                yield f, _os.path.splitext(_os.path.basename(f))[0], 1200
+    else:
+        raise ValueError(f"unknown dataset layout: {layout!r}")

@@ -54,3 +54,75 @@ def test_tiled_inference_matches_scale(rng):
     apply2 = jax.jit(lambda v, x: mn.apply(v, x, train=False))
     mnt = detect_minutiae_tiled(apply2, v2, img, minu_thr=0.01)
     assert mnt.ndim == 2 or len(mnt) == 0
+
+
+def test_dataset_layout_enumerators(tmp_path):
+    """The reference batch modes' file enumeration semantics
+    (extraction_rolled.py:146-262)."""
+    from msu_latentafis_tpu.pipeline.rolled import enumerate_rolled_dataset
+
+    # flat
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    for n in ["b.bmp", "a.bmp", "c.png", "d.txt"]:
+        (flat / n).touch()
+    got = list(enumerate_rolled_dataset(str(flat), "flat"))
+    assert [g[1] for g in got] == ["a", "b", "c"]
+    assert all(g[2] == 500 for g in got)
+
+    # longitudinal: subject dirs, fingers with >=5 impressions only
+    lng = tmp_path / "lng"
+    for subj in ["s1", "s0"]:
+        (lng / subj).mkdir(parents=True)
+        for imp in range(6):
+            (lng / subj / f"{imp}_roll_3.bmp").touch()
+        (lng / subj / "0_roll_7.bmp").touch()  # finger 7: only one impression
+    got = list(enumerate_rolled_dataset(str(lng), "longitudinal"))
+    assert len(got) == 10  # 2 subjects x 1 qualifying finger x 5 impressions
+    assert got[0][1].startswith("s0_") and got[-1][1].startswith("s1_")
+
+    # msp: numbered files, inclusive range
+    msp = tmp_path / "msp"
+    msp.mkdir()
+    for i in [3, 4, 6]:
+        (msp / f"{i}.bmp").touch()
+    got = list(enumerate_rolled_dataset(str(msp), "msp", N1=3, N2=6))
+    assert [g[1] for g in got] == ["3", "4", "6"]
+
+    # n2n: per-subject pngs at 1200 ppi
+    n2n = tmp_path / "n2n"
+    (n2n / "p1").mkdir(parents=True)
+    (n2n / "p1" / "x.png").touch()
+    got = list(enumerate_rolled_dataset(str(n2n), "n2n"))
+    assert got == [(str(n2n / "p1" / "x.png"), "x", 1200)]
+
+
+def test_pairs_verification_protocol(rng, tmp_path):
+    """k-fold pairs verification (lfw_verify_torch.py parity): separable
+    features give ~100% accuracy; pairs-file parsing round-trips."""
+    from msu_latentafis_tpu.evaluate import (kfold_verification,
+                                             read_index_dict, read_pairs_file)
+    # 40 identities x 2 impressions; same-id features cluster together
+    ids = np.repeat(np.arange(40), 2)
+    feats = rng.standard_normal((40, 16))[ids] + 0.05 * rng.standard_normal((80, 16))
+
+    paths = tmp_path / "paths.txt"
+    names = [f"id{i:02d}_{j + 1:04d}" for i in range(40) for j in range(2)]
+    paths.write_text("".join(f"/x/{n}.png\n" for n in names))
+    idx = read_index_dict(str(paths))
+    assert idx[names[0]] == 0 and idx[names[-1]] == 79
+
+    lines = ["10 300 pairs"]
+    for i in range(40):
+        lines.append(f"id{i:02d} 1 2")                       # genuine
+        j = (i + 1) % 40
+        lines.append(f"id{i:02d} 1 id{j:02d} 2")             # impostor
+    pf = tmp_path / "pairs.txt"
+    pf.write_text("\n".join(lines) + "\n")
+    pair_idx, labels = read_pairs_file(str(pf), idx)
+    assert len(pair_idx) == 80 and labels.sum() == 40
+
+    for metric in ("cos_dist", "l2_norm"):
+        mean, std = kfold_verification(feats, pair_idx, labels, metric=metric)
+        assert mean > 0.95, (metric, mean)
+        assert std < 0.2
