@@ -110,12 +110,15 @@ def cmd_extract_rolled(args) -> int:
 # ---------------------------------------------------------------------------
 
 def _load_gallery(engine, gallery_dir: str):
-    from .templates import read_final_template
-    from .templates.packing import pack_gallery
+    from .templates.native_io import pack_gallery_native
     files = sorted(glob.glob(os.path.join(gallery_dir, "*.dat")))
     names = [os.path.splitext(os.path.basename(f))[0] for f in files]
-    templates = [read_final_template(f, kind="rolled") for f in files]
-    packed = pack_gallery(templates, engine.codebook, names=names)
+    packed = pack_gallery_native(gallery_dir, engine.codebook)
+    if packed is None:  # native loader unavailable: pure-Python fallback
+        from .templates import read_final_template
+        from .templates.packing import pack_gallery
+        templates = [read_final_template(f, kind="rolled") for f in files]
+        packed = pack_gallery(templates, engine.codebook, names=names)
     return engine.load_gallery(packed), dict(zip(names, files))
 
 

@@ -28,8 +28,10 @@ def _load_lib():
     global _LIB
     if _LIB is not None:
         return _LIB
-    if not os.path.exists(_LIB_PATH):
-        src = _LIB_PATH.replace("libtemplate_io.so", "template_io.cpp")
+    src = _LIB_PATH.replace("libtemplate_io.so", "template_io.cpp")
+    stale = os.path.exists(_LIB_PATH) and os.path.exists(src) and \
+        os.path.getmtime(_LIB_PATH) < os.path.getmtime(src)
+    if not os.path.exists(_LIB_PATH) or stale:
         if os.path.exists(src):
             import subprocess
             try:
@@ -43,6 +45,7 @@ def _load_lib():
     lib = ctypes.CDLL(_LIB_PATH)
     lib.pack_gallery_files.restype = ctypes.c_int
     lib.list_dat_files.restype = ctypes.c_int
+    lib.scan_gallery_counts.restype = ctypes.c_int
     _LIB = lib
     return lib
 
@@ -56,15 +59,22 @@ def _ptr(a: np.ndarray, ctype):
 
 
 def pack_gallery_native(gallery_dir: str, codebook: np.ndarray,
-                        minu_cap: int = 256, tex_cap: int = 1024,
+                        minu_cap: Optional[int] = None,
+                        tex_cap: Optional[int] = None,
                         des_dim: int = 96) -> Optional[PackedGallery]:
     """Parse + pack every rolled ``.dat`` under ``gallery_dir`` with the
-    native loader. Returns None when the library is unavailable."""
+    native loader. Returns None when the library is unavailable.
+
+    When caps aren't given, a parallel count-only scan right-sizes them to
+    the actual per-gallery maxima (rounded up to the sublane multiple of
+    8), matching pack_gallery's adaptive semantics."""
     lib = _load_lib()
     if lib is None:
         return None
     files = sorted(glob.glob(os.path.join(gallery_dir, "*.dat")))
     if not files:
+        minu_cap = minu_cap or 8
+        tex_cap = tex_cap or 8
         return PackedGallery(
             minu_des=np.zeros((0, minu_cap, des_dim), np.float32),
             minu_xy=np.zeros((0, minu_cap, 2), np.float32),
@@ -78,6 +88,20 @@ def pack_gallery_native(gallery_dir: str, codebook: np.ndarray,
 
     n = len(files)
     n_subs = codebook.shape[0]
+    joined = ("\n".join(files)).encode()
+
+    if minu_cap is None or tex_cap is None:
+        scan_m = np.zeros((n,), np.int32)
+        scan_t = np.zeros((n,), np.int32)
+        lib.scan_gallery_counts(ctypes.c_char_p(joined), ctypes.c_int(n),
+                                _ptr(scan_m, ctypes.c_int32),
+                                _ptr(scan_t, ctypes.c_int32))
+        rup = lambda v: int(-(-max(int(v), 1) // 8) * 8)
+        if minu_cap is None:
+            minu_cap = rup(scan_m.max() if n else 1)
+        if tex_cap is None:
+            tex_cap = rup(scan_t.max() if n else 1)
+
     minu_des = np.zeros((n, minu_cap, des_dim), np.float32)
     minu_x = np.zeros((n, minu_cap), np.float32)
     minu_y = np.zeros((n, minu_cap), np.float32)
@@ -89,7 +113,6 @@ def pack_gallery_native(gallery_dir: str, codebook: np.ndarray,
     tex_ori = np.zeros((n, tex_cap), np.float32)
     tex_n = np.zeros((n,), np.int32)
 
-    joined = ("\n".join(files)).encode()
     lib.pack_gallery_files(
         ctypes.c_char_p(joined), ctypes.c_int(n), ctypes.c_int(minu_cap),
         ctypes.c_int(tex_cap), ctypes.c_int(des_dim), ctypes.c_int(n_subs),

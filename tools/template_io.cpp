@@ -192,6 +192,70 @@ int pack_gallery_files(const char *paths_joined, int n_files, int minu_cap,
   return ok;
 }
 
+// Count-only scan: record template-0 minutiae/texture counts per file so
+// the caller can right-size the packed arrays before pack_gallery_files
+// (two-pass loading keeps huge galleries from over-allocating at the cap).
+int scan_gallery_counts(const char *paths_joined, int n_files,
+                        int32_t *minu_n, int32_t *tex_n) {
+  std::vector<std::string> files;
+  {
+    const char *p = paths_joined;
+    while (*p) {
+      const char *nl = std::strchr(p, '\n');
+      if (!nl) nl = p + std::strlen(p);
+      if (nl > p) files.emplace_back(p, nl - p);
+      if (!*nl) break;
+      p = nl + 1;
+    }
+  }
+  int n = std::min<int>(files.size(), n_files);
+  int ok = 0;
+#pragma omp parallel for schedule(dynamic, 16) reduction(+ : ok)
+  for (int g = 0; g < n; ++g) {
+    minu_n[g] = 0;
+    tex_n[g] = 0;
+    std::ifstream is(files[g], std::ios::binary | std::ios::ate);
+    if (!is) continue;
+    auto size = is.tellg();
+    std::vector<uint8_t> buf((size_t)size);
+    is.seekg(0);
+    is.read(reinterpret_cast<char *>(buf.data()), size);
+    if (buf.size() <= 10) {
+      ok += 1;
+      continue;
+    }
+    Reader r{buf.data(), buf.data() + buf.size()};
+    uint16_t header[12], hw[4];
+    uint8_t n_minu_templates = 0;
+    if (!r.read(header, 12) || !r.read(hw, 4) || !r.read(&n_minu_templates))
+      continue;
+    bool bad = false;
+    for (int t = 0; t < n_minu_templates && !bad; ++t) {
+      uint16_t cnt = 0, dlen = 0;
+      if (!r.read(&cnt)) { bad = true; break; }
+      if ((int)cnt <= 0) continue;
+      if (cnt > 2000 ||
+          !r.skip((size_t)cnt * (2 + 2 + 4)) || !r.read(&dlen) ||
+          !r.skip((size_t)cnt * dlen * 4)) { bad = true; break; }
+      if (t == 0) minu_n[g] = cnt;
+    }
+    uint8_t n_tex_templates = 0;
+    if (!bad && r.read(&n_tex_templates)) {
+      for (int t = 0; t < n_tex_templates; ++t) {
+        uint16_t cnt = 0, dlen = 0;
+        if (!r.read(&cnt)) break;
+        if ((int)cnt <= 0) continue;
+        if (cnt > 2000 ||
+            !r.skip((size_t)cnt * (2 + 2 + 4)) || !r.read(&dlen) ||
+            !r.skip((size_t)cnt * dlen)) break;
+        if (t == 0) tex_n[g] = cnt;
+      }
+    }
+    ok += 1;
+  }
+  return ok;
+}
+
 // Compute PQ reconstruction squared norms for packed codes:
 // sqnorm[g, i] = sum_k ||codebook[k, codes[g, i, k]]||^2.
 void pq_sqnorms(const uint8_t *codes, int64_t n_rows, int n_subs,
