@@ -69,6 +69,9 @@ class DeviceGallery:
     n_real: int                      # entries before block padding
     tex_codes: Optional[jax.Array] = None   # [G, Rt*S] uint8 flat
     tex_dec: Optional[jax.Array] = None     # [G, D, Rt] transposed
+    tex_codes_t: Optional[jax.Array] = None  # [G, S, Rt] uint8 planes (TPU
+    #                                          codes-resident mode: decoded
+    #                                          in VMEM by the Pallas kernel)
 
     @property
     def size(self) -> int:
@@ -113,7 +116,8 @@ class MatchEngine:
     def __init__(self, codebook: np.ndarray, block_size: int = 64,
                  compute_dtype=jnp.float32,
                  predecode: Optional[bool] = None,
-                 tex_int8: bool = False):
+                 tex_int8: bool = False,
+                 codes_resident: Optional[bool] = None):
         codebook = np.asarray(codebook, np.float32)
         self.codebook = codebook
         self.n_subs, self.n_clusters, self.sub_dim = codebook.shape
@@ -125,9 +129,15 @@ class MatchEngine:
             codebook.reshape(self.n_subs * self.n_clusters, self.sub_dim))
         self._decode_tensor = block_diag_codebook(codebook,
                                                   dtype=compute_dtype)
+        # transposed decode tensor for the in-VMEM decode kernel
+        D = self.n_subs * self.sub_dim
+        self._decode_tensor_t = jnp.asarray(
+            np.asarray(self._decode_tensor, np.float32)
+            .reshape(self.n_subs * self.n_clusters, D).T, compute_dtype)
         self.block_size = int(block_size)
         self.compute_dtype = compute_dtype
         self.predecode = predecode
+        self.codes_resident = codes_resident
         # _match_all is natively batched over a leading latent axis: the
         # gallery (and per-block decode) is shared across the batch, the
         # texture scoring runs as one Pallas kernel over an (NL, B) grid,
@@ -153,13 +163,22 @@ class MatchEngine:
         put = functools.partial(jax.device_put, device=device)
         Gp, Rt, S = pad(packed.tex_codes).shape[0], packed.tex_codes.shape[1], \
             packed.tex_codes.shape[2]
+        # codes-resident TPU mode: ship transposed code planes (decoded in
+        # VMEM per block by the Pallas kernel) instead of flat codes
+        codes_resident = self.codes_resident if self.codes_resident is not None \
+            else (not self._should_predecode(Gp, Rt)
+                  and jax.default_backend() != "cpu")
+        codes_field = dict(
+            tex_codes_t=put(np.ascontiguousarray(
+                np.swapaxes(pad(packed.tex_codes), 1, 2)))
+        ) if codes_resident else dict(
+            tex_codes=put(pad(packed.tex_codes).reshape(Gp, Rt * S)))
         gal = DeviceGallery(
             minu_des=put(np.swapaxes(pad(packed.minu_des), 1, 2).astype(dtype)),
             minu_x=put(pad(packed.minu_xy)[:, :, 0].copy()),
             minu_y=put(pad(packed.minu_xy)[:, :, 1].copy()),
             minu_ori=put(pad(packed.minu_ori)),
             minu_n=put(pad(packed.minu_n)),
-            tex_codes=put(pad(packed.tex_codes).reshape(Gp, Rt * S)),
             tex_sqnorm=put(pad(packed.tex_sqnorm)),
             tex_x=put(pad(packed.tex_xy)[:, :, 0].copy()),
             tex_y=put(pad(packed.tex_xy)[:, :, 1].copy()),
@@ -167,8 +186,16 @@ class MatchEngine:
             tex_n=put(pad(packed.tex_n)),
             names=list(packed.names),
             n_real=G0,
+            **codes_field,
         )
         return self.maybe_predecode(gal, n_subs=S)
+
+    def _should_predecode(self, G: int, Rt: int) -> bool:
+        if self.predecode is not None:
+            return bool(self.predecode)
+        D = self.n_subs * self.sub_dim
+        nbytes = G * Rt * D * (1 if self.tex_int8 else 2)
+        return nbytes < self.PREDECODE_BUDGET_BYTES
 
     def _decode(self, codes: jnp.ndarray) -> jnp.ndarray:
         """Backend-appropriate decode: MXU one-hot matmul on TPU, row
@@ -189,10 +216,7 @@ class MatchEngine:
         G, flat = gal.tex_codes.shape
         Rt = flat // S
         D = S * self.sub_dim
-        nbytes = G * Rt * D * (1 if self.tex_int8 else 2)
-        do = self.predecode if self.predecode is not None \
-            else nbytes < self.PREDECODE_BUDGET_BYTES
-        if not do:
+        if not self._should_predecode(G, Rt):
             return gal
 
         chunk = max(1, min(G, (1 << 27) // max(Rt * D, 1)))
@@ -321,13 +345,21 @@ class MatchEngine:
                     blk["minu_des"], minu_xy, blk["minu_ori"], rol_minu_valid,
                 ).reshape(NL, T, B)
 
-            if "tex_dec" in blk:
+            if "tex_codes_t" in blk:                         # TPU only
+                # codes-resident mode: PQ decode happens inside the kernel
+                decoded_t = None
+                best, bestj = pk.fused_adc_rowmax_codes(
+                    lat_tex_des, lat_sqnorm, blk["tex_codes_t"],
+                    self._decode_tensor_t, blk["tex_sqnorm"],
+                    rol_tex_valid.astype(jnp.float32),
+                    n_clusters=self.n_clusters, interpret=not on_tpu)
+            elif "tex_dec" in blk:
                 decoded_t = blk["tex_dec"]                   # [B, D, Rt]
             else:
                 codes = blk["tex_codes"].reshape(B, Rt, -1)
                 decoded_t = jnp.swapaxes(self._decode(codes), 1, 2)
 
-            if decoded_t.dtype == jnp.int8:
+            if decoded_t is not None and decoded_t.dtype == jnp.int8:
                 # int8 storage, bf16 compute: fold the dequant scale into
                 # the (tiny) latent operand; the kernel casts per block
                 x_eff = (lat_tex_des.astype(jnp.float32)
@@ -335,7 +367,9 @@ class MatchEngine:
             else:
                 x_eff = lat_tex_des
 
-            if on_tpu:
+            if decoded_t is None:
+                pass                                         # handled above
+            elif on_tpu:
                 best, bestj = pk.fused_adc_rowmax(
                     x_eff, lat_sqnorm, decoded_t,
                     blk["tex_sqnorm"], rol_tex_valid.astype(jnp.float32))
@@ -416,6 +450,8 @@ class MatchEngine:
                  tex_ori=gal.tex_ori, tex_n=gal.tex_n)
         if gal.tex_dec is not None:
             d["tex_dec"] = gal.tex_dec
+        elif gal.tex_codes_t is not None:
+            d["tex_codes_t"] = gal.tex_codes_t
         else:
             d["tex_codes"] = gal.tex_codes
         return d

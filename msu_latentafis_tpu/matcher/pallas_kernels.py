@@ -280,6 +280,92 @@ def fused_graph_filter_packed(val, gl, gr, li, ri, valid, lookup: bool,
     return out[:NP, 0]
 
 
+def _adc_rowmax_codes_kernel(n_clusters: int):
+    def kernel(x_ref, lsq_ref, codes_ref, tdec_ref, rsq_ref, tvalid_ref,
+               best_ref, bestj_ref, dect_ref):
+        # x: [Lt, D] (latent n); codes: [S, Rt] u8 (gallery entry b);
+        # tdec: [D, S*C] transposed block-diagonal decode tensor;
+        # dect_ref: [D, Rt] VMEM scratch holding the decoded entry, built
+        # once per gallery entry (grid is (B, NL) with NL innermost) and
+        # reused by every latent in the batch.
+        C = n_clusters
+
+        @pl.when(pl.program_id(1) == 0)
+        def _decode():
+            codes = codes_ref[...].astype(jnp.int32)          # [S, Rt]
+            S, Rt = codes.shape
+            D = tdec_ref.shape[0]
+            acc = jnp.zeros((D, Rt), jnp.float32)
+            # unrolled one-hot matmuls: decoded = sum_k CB_k^T @ 1hot_k.
+            # MXU-shaped ([D, C] x [C, Rt]); no vector gathers on TPU.
+            for k in range(S):
+                onehot = (codes[k:k + 1, :]
+                          == jax.lax.broadcasted_iota(jnp.int32, (C, Rt), 0)
+                          ).astype(tdec_ref.dtype)            # [C, Rt]
+                acc += jnp.dot(tdec_ref[:, k * C:(k + 1) * C], onehot,
+                               preferred_element_type=jnp.float32)
+            dect_ref[...] = acc.astype(dect_ref.dtype)
+
+        x = x_ref[...]
+        dots = jnp.dot(x, dect_ref[...].astype(x.dtype),
+                       preferred_element_type=jnp.float32)    # [Lt, Rt]
+        simi = 2.0 * dots + (6.0 - lsq_ref[0, :][:, None]
+                             - rsq_ref[0, :][None, :])
+        simi = simi + (tvalid_ref[0, :][None, :] - 1.0) * (-NEG_BIG)
+        best_ref[0, :] = jnp.max(simi, axis=1)
+        bestj_ref[0, :] = jnp.argmax(simi, axis=1).astype(jnp.int32)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("n_clusters", "interpret"))
+def fused_adc_rowmax_codes(x: jnp.ndarray, lat_sqnorm: jnp.ndarray,
+                           codes_t: jnp.ndarray, tdec: jnp.ndarray,
+                           rol_sqnorm: jnp.ndarray, rol_valid: jnp.ndarray,
+                           n_clusters: int = 256,
+                           interpret: bool = False
+                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """fused_adc_rowmax for codes-resident galleries: PQ decode happens in
+    VMEM, so HBM holds only the uint8 codes (16 B/minutia — a ~1M-template
+    gallery fits one chip, vs ~200K for pre-decoded int8 reconstructions).
+
+    x: [NL, Lt, D]; lat_sqnorm: [NL, Lt] f32
+    codes_t: [B, S, Rt] uint8 (transposed code planes)
+    tdec: [D, S*C] transposed block-diagonal decode tensor (compute dtype)
+    rol_sqnorm / rol_valid: [B, Rt] f32
+    Returns best [NL, B, Lt] f32, bestj [NL, B, Lt] i32.
+    """
+    NL, Lt, D = x.shape
+    B, S, Rt = codes_t.shape
+    lsq = lat_sqnorm.reshape(NL, 1, Lt)
+    rsq = rol_sqnorm.reshape(B, 1, Rt)
+    tva = rol_valid.astype(jnp.float32).reshape(B, 1, Rt)
+
+    best, bestj = pl.pallas_call(
+        _adc_rowmax_codes_kernel(n_clusters),
+        grid=(B, NL),
+        in_specs=[
+            pl.BlockSpec((None, Lt, D), lambda b, n: (n, 0, 0)),
+            pl.BlockSpec((None, 1, Lt), lambda b, n: (n, 0, 0)),
+            pl.BlockSpec((None, S, Rt), lambda b, n: (b, 0, 0)),
+            pl.BlockSpec((D, S * n_clusters), lambda b, n: (0, 0)),
+            pl.BlockSpec((None, 1, Rt), lambda b, n: (b, 0, 0)),
+            pl.BlockSpec((None, 1, Rt), lambda b, n: (b, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, None, 1, Lt), lambda b, n: (n, b, 0, 0)),
+            pl.BlockSpec((None, None, 1, Lt), lambda b, n: (n, b, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((NL, B, 1, Lt), jnp.float32),
+            jax.ShapeDtypeStruct((NL, B, 1, Lt), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((D, Rt), x.dtype)],
+        interpret=interpret,
+    )(x, lsq, codes_t, tdec, rsq, tva)
+    return best[:, :, 0, :], bestj[:, :, 0, :]
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def fused_adc_rowmax(x: jnp.ndarray, lat_sqnorm: jnp.ndarray,
                      dect: jnp.ndarray, rol_sqnorm: jnp.ndarray,

@@ -161,3 +161,18 @@ def test_texture_matmul_equals_lut(rng):
                               jnp.ones(40, bool), decoded_t, rol_sqnorm,
                               jnp.ones((1, 50), bool))
     np.testing.assert_allclose(np.asarray(simi[0]), simi_spec, rtol=1e-4, atol=1e-4)
+
+
+def test_engine_codes_resident_mode(setup):
+    """Codes-resident gallery (in-VMEM PQ decode kernel) matches the spec
+    scores like the pre-decoded path does."""
+    rng, codebook, engine = setup
+    cengine = MatchEngine(codebook, block_size=2, codes_resident=True)
+    latent = make_latent_template(rng, n_minu=18, n_tex=50)
+    gallery = [make_rolled_template(rng, n_minu=22, n_tex=60) for _ in range(2)]
+    gallery.append(make_rolled_template(rng, n_minu=30, n_tex=80,
+                                        mated_latent=latent, codebook=codebook))
+    expected = _spec_scores(latent, gallery, codebook)
+    result = _engine_scores(cengine, codebook, latent, gallery)
+    np.testing.assert_allclose(result.scores, expected, **TOL)
+    assert int(np.argmax(result.scores)) == 2

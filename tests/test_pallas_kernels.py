@@ -62,3 +62,37 @@ def test_fused_adc_rowmax_matches_einsum(rng):
                                rtol=1e-5, atol=1e-4)
     np.testing.assert_array_equal(np.asarray(bestj),
                                   np.asarray(jnp.argmax(simi, -1)))
+
+
+def test_fused_adc_rowmax_codes_matches_decode(rng):
+    """In-VMEM PQ decode + ADC row-max == decode-then-fused_adc_rowmax."""
+    import jax
+    import jax.numpy as jnp
+    from msu_latentafis_tpu.matcher.texture_match import block_diag_codebook
+    from msu_latentafis_tpu.utils.synthetic import random_codebook
+
+    NL, Lt, B, Rt = 2, 16, 3, 24
+    cb = random_codebook(rng)                      # [16, 256, 6]
+    S, C, d = cb.shape
+    D = S * d
+    x = jnp.asarray(rng.standard_normal((NL, Lt, D)), jnp.float32)
+    lsq = jnp.sum(x ** 2, -1)
+    codes = rng.integers(0, C, (B, Rt, S)).astype(np.uint8)
+    decoded = cb[np.arange(S)[None, None], codes]              # [B, Rt, S, d]
+    decoded = decoded.reshape(B, Rt, D)
+    dect = jnp.asarray(np.swapaxes(decoded, 1, 2), jnp.float32)  # [B, D, Rt]
+    rsq = jnp.sum(dect ** 2, 1)
+    valid = jnp.asarray(rng.random((B, Rt)) > 0.2, jnp.float32)
+
+    want_best, want_j = pk.fused_adc_rowmax(x, lsq, dect, rsq, valid,
+                                            interpret=True)
+
+    codes_t = jnp.asarray(np.swapaxes(codes, 1, 2))            # [B, S, Rt]
+    tdec = jnp.asarray(
+        np.asarray(block_diag_codebook(cb)).reshape(S * C, D).T)  # [D, S*C]
+    best, bestj = pk.fused_adc_rowmax_codes(x, lsq, codes_t, tdec, rsq,
+                                            valid, n_clusters=C,
+                                            interpret=True)
+    np.testing.assert_allclose(np.asarray(best), np.asarray(want_best),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(bestj), np.asarray(want_j))
