@@ -72,6 +72,8 @@ class DeviceGallery:
     tex_codes_t: Optional[jax.Array] = None  # [G, S, Rt] uint8 planes (TPU
     #                                          codes-resident mode: decoded
     #                                          in VMEM by the Pallas kernel)
+    minu_scale: Optional[jax.Array] = None   # [1] f32 dequant scale when
+    #                                          minu_des is int8-stored
 
     @property
     def size(self) -> int:
@@ -117,7 +119,8 @@ class MatchEngine:
                  compute_dtype=jnp.float32,
                  predecode: Optional[bool] = None,
                  tex_int8: bool = False,
-                 codes_resident: Optional[bool] = None):
+                 codes_resident: Optional[bool] = None,
+                 minu_int8: bool = False):
         codebook = np.asarray(codebook, np.float32)
         self.codebook = codebook
         self.n_subs, self.n_clusters, self.sub_dim = codebook.shape
@@ -138,6 +141,10 @@ class MatchEngine:
         self.compute_dtype = compute_dtype
         self.predecode = predecode
         self.codes_resident = codes_resident
+        # int8 minutiae-descriptor storage: halves the dominant HBM array
+        # (gallery minutiae descriptors); the dequant scale is folded into
+        # the latent operand at match time like the tex_int8 path
+        self.minu_int8 = bool(minu_int8)
         # _match_all is natively batched over a leading latent axis: the
         # gallery (and per-block decode) is shared across the batch, the
         # texture scoring runs as one Pallas kernel over an (NL, B) grid,
@@ -173,8 +180,17 @@ class MatchEngine:
                 np.swapaxes(pad(packed.tex_codes), 1, 2)))
         ) if codes_resident else dict(
             tex_codes=put(pad(packed.tex_codes).reshape(Gp, Rt * S)))
+        if self.minu_int8:
+            mscale = float(np.abs(packed.minu_des).max()) / 127.0 + 1e-12
+            minu_dev = np.clip(np.round(
+                np.swapaxes(pad(packed.minu_des), 1, 2) / mscale),
+                -127, 127).astype(np.int8)
+            minu_scale = put(np.full((1,), mscale, np.float32))
+        else:
+            minu_dev = np.swapaxes(pad(packed.minu_des), 1, 2).astype(dtype)
+            minu_scale = None
         gal = DeviceGallery(
-            minu_des=put(np.swapaxes(pad(packed.minu_des), 1, 2).astype(dtype)),
+            minu_des=put(minu_dev),
             minu_x=put(pad(packed.minu_xy)[:, :, 0].copy()),
             minu_y=put(pad(packed.minu_xy)[:, :, 1].copy()),
             minu_ori=put(pad(packed.minu_ori)),
@@ -186,6 +202,7 @@ class MatchEngine:
             tex_n=put(pad(packed.tex_n)),
             names=list(packed.names),
             n_real=G0,
+            minu_scale=minu_scale,
             **codes_field,
         )
         return self.maybe_predecode(gal, n_subs=S)
@@ -262,7 +279,13 @@ class MatchEngine:
         lat_tex_valid = jnp.arange(Lt)[None, :] < lat["tex_n"][:, None]
         lat_tex_des = lat["tex_des"].astype(dtype)           # [NL, Lt, D]
         lat_sqnorm = jnp.sum(lat["tex_des"].astype(jnp.float32) ** 2, axis=-1)
-        lat_minu_des = lat["minu_des"].astype(dtype)
+        if "minu_scale" in gal:
+            # int8-stored gallery descriptors: fold the dequant scale into
+            # the (tiny) latent operand
+            lat_minu_des = (lat["minu_des"].astype(jnp.float32)
+                            * gal["minu_scale"][0]).astype(dtype)
+        else:
+            lat_minu_des = lat["minu_des"].astype(dtype)
 
         # flatten (NL, T) -> one latent-template axis for the minutiae vmap
         def flat(a):
@@ -302,12 +325,14 @@ class MatchEngine:
             # dynamic_slice per step: a whole-array reshape would make XLA
             # relayout-copy the entire gallery
             return {k: jax.lax.dynamic_slice_in_dim(v, i * B, B, axis=0)
-                    for k, v in gal.items()}
+                    for k, v in gal.items() if k != "minu_scale"}
 
         k_tex = min(MC.TOPN_TEX_CORR, Lt)
 
         def step(carry, i):
             blk = get_block(i)
+            if blk["minu_des"].dtype == jnp.int8:
+                blk["minu_des"] = blk["minu_des"].astype(dtype)
             Rm = blk["minu_des"].shape[2]
             rol_minu_valid = jnp.arange(Rm)[None, :] < blk["minu_n"][:, None]
             Rt = blk["tex_sqnorm"].shape[1]
@@ -454,6 +479,8 @@ class MatchEngine:
             d["tex_codes_t"] = gal.tex_codes_t
         else:
             d["tex_codes"] = gal.tex_codes
+        if gal.minu_scale is not None:
+            d["minu_scale"] = gal.minu_scale
         return d
 
     def match_scores(self, latent: PackedLatent, gallery: DeviceGallery) -> jax.Array:

@@ -31,6 +31,27 @@ def show_mask(mask: np.ndarray, img: Optional[np.ndarray] = None,
     plt.close(fig)
 
 
+def show_image(img: np.ndarray, mask: Optional[np.ndarray] = None,
+               fname: Optional[str] = None) -> None:
+    """Plain grayscale dump with an optional mask contour
+    (show.py:43-63)."""
+    fig, ax = plt.subplots(1)
+    ax.imshow(img, cmap="gray")
+    if mask is not None:
+        ax.contour(mask, [0.5], colors="orange", linewidths=0.8)
+    ax.axis("off")
+    if fname:
+        fig.savefig(fname, dpi=150, bbox_inches="tight")
+    plt.close(fig)
+
+
+def show_minutiae(img: np.ndarray, minutiae: np.ndarray,
+                  mask: Optional[np.ndarray] = None,
+                  fname: Optional[str] = None) -> None:
+    """Single-set overlay (show.py:66-98)."""
+    show_minutiae_sets(img, [np.asarray(minutiae)], mask=mask, fname=fname)
+
+
 def show_minutiae_sets(img: np.ndarray, minutiae_sets: Sequence[np.ndarray],
                        mask: Optional[np.ndarray] = None,
                        fname: Optional[str] = None,
