@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -32,10 +33,15 @@ from ..templates.data_model import MatcherConstants as MC
 from ..templates.packing import PackedGallery, PackedLatent
 from . import pallas_kernels as pk
 from .graph_filter import filter_correspondences
-from .minutiae_match import (minutiae_correspondences, minutiae_match_single,
-                             minutiae_similarity)
+from .minutiae_match import (minutiae_correspondence_indices,
+                             minutiae_match_single, minutiae_similarity)
 from .texture_match import (block_diag_codebook, decode_pq, decode_pq_matmul,
                             texture_similarity, texture_match_from_simi)
+
+# Profiling-only ablation switches (scripts/profile_match.py): comma-set of
+# {"mcorr", "textopk"} to stub the minutiae correspondence top-k / texture
+# top-k with cheap slices. Never set in production.
+_ABLATE = frozenset(os.environ.get("ENGINE_ABLATE", "").split(","))
 
 
 @dataclasses.dataclass
@@ -304,15 +310,16 @@ class MatchEngine:
         over_templates = jax.vmap(over_gallery,
                                   in_axes=(0, 0, 0, 0, None, None, None, None))
 
-        # TPU path: extract correspondences only, filter via the fused kernel
-        def corr_minu(t_des, t_valid, r_des, r_valid):
-            simi = minutiae_similarity(t_des, t_valid, r_des, r_valid)
-            return minutiae_correspondences(simi, t_valid, r_valid,
-                                            approx=on_tpu)
-
-        corr_over_gallery = jax.vmap(corr_minu, in_axes=(None, None, 0, 0))
-        corr_over_templates = jax.vmap(corr_over_gallery,
-                                       in_axes=(0, 0, None, None))
+        # TPU path: coordinate packs as [.., 4, P] planes, consumed directly
+        # by the gather-fusing filter kernel (latent side is block-invariant
+        # so it is built once outside the scan)
+        lat_packT = jnp.stack(
+            [fl_xy[..., 0], fl_xy[..., 1],
+             jnp.cos(fl_ori), jnp.sin(fl_ori)], axis=1)      # [NT, 4, Lm]
+        lat_tpackT = jnp.stack(
+            [lat["tex_xy"][..., 0], lat["tex_xy"][..., 1],
+             jnp.cos(lat["tex_ori"]), jnp.sin(lat["tex_ori"])],
+            axis=1)                                          # [NL, 4, Lt]
 
         def pair_tex(val, li, ri, lxy, lori, r_xy, r_ori):
             valid = val > pk.NEG_BIG / 2
@@ -341,29 +348,30 @@ class MatchEngine:
             tex_xy = jnp.stack([blk["tex_x"], blk["tex_y"]], axis=-1)
 
             if on_tpu:
-                mval, mli, mri, mvalid = corr_over_templates(
-                    fl_des, fl_valid, blk["minu_des"], rol_minu_valid)
-                # packed coordinate gathers: one [.., 4]-wide gather per
-                # side instead of five scalar ones (TPU gathers are
-                # per-element-slow; a wider minor dim amortizes the rows)
-                lat_pack = jnp.stack(
-                    [fl_xy[..., 0], fl_xy[..., 1],
-                     jnp.cos(fl_ori), jnp.sin(fl_ori)], axis=-1)  # [NT, Lm, 4]
-                rol_pack = jnp.stack(
+                simi = minutiae_similarity(
+                    fl_des[:, None], fl_valid[:, None],
+                    blk["minu_des"][None], rol_minu_valid[None])
+                if "mcorr" in _ABLATE:
+                    Kc = min(MC.TOPN_MINU_CORR, Lm * Rm)
+                    idx = jnp.arange(Kc, dtype=jnp.int32)
+                    shp = (NL * T, B, Kc)
+                    mli = jnp.broadcast_to(idx // Rm, shp)
+                    mri = jnp.broadcast_to(idx % Rm, shp)
+                    mvalid = jnp.ones(shp, bool)
+                else:
+                    mli, mri, mvalid = minutiae_correspondence_indices(
+                        simi, fl_valid, rol_minu_valid, approx=True)
+                rol_packT = jnp.stack(
                     [blk["minu_x"], blk["minu_y"],
                      jnp.cos(blk["minu_ori"]), jnp.sin(blk["minu_ori"])],
-                    axis=-1)                                      # [B, Rm, 4]
-                gl = jnp.take_along_axis(
-                    lat_pack[:, None] + jnp.zeros((1, B, 1, 1)),
-                    mli[..., None], axis=2)                       # [NT, B, K, 4]
-                gr = jnp.take_along_axis(
-                    rol_pack[None] + jnp.zeros((NL * T, 1, 1, 1)),
-                    mri[..., None], axis=2)
-                flatten = lambda a: a.reshape((NL * T * B,) + a.shape[2:])
-                s_minu = pk.fused_graph_filter_packed(
-                    flatten(mval), flatten(gl), flatten(gr), flatten(mli),
-                    flatten(mri), flatten(mvalid),
-                    lookup=False, dist_iters=5).reshape(NL, T, B)
+                    axis=1)                                      # [B, 4, Rm]
+                # correspondence weights + coordinate gathers happen inside
+                # the kernel (one-hot MXU contractions in VMEM) — XLA
+                # gathers here dominated the whole match step
+                s_minu = pk.fused_graph_filter_infuse(
+                    None, mli, mri, mvalid, lat_packT, rol_packT,
+                    lookup=False, dist_iters=5,
+                    simi=simi).reshape(NL, T, B)
             else:
                 s_minu = over_templates(
                     fl_des, fl_xy, fl_ori, fl_valid,
@@ -416,31 +424,25 @@ class MatchEngine:
 
             # invalid latent rows drop out of the top-K
             best = jnp.where(lat_tex_valid[:, None, :], best, pk.NEG_BIG)
-            topv, li = jax.lax.top_k(best, k_tex)            # [NL, B, k]
-            ri = jnp.take_along_axis(bestj, li, axis=2)
+            if "textopk" in _ABLATE:
+                topv = best[..., :k_tex]
+                li = jnp.broadcast_to(jnp.arange(k_tex, dtype=jnp.int32),
+                                      topv.shape)
+                ri = bestj[..., :k_tex]
+            else:
+                topv, li = jax.lax.top_k(best, k_tex)        # [NL, B, k]
+                ri = jnp.take_along_axis(bestj, li, axis=2)
 
             if on_tpu:
                 tvalid = topv > pk.NEG_BIG / 2
                 tval = jnp.where(tvalid, topv, 0.0)
-                lat_tpack = jnp.stack(
-                    [lat["tex_xy"][..., 0], lat["tex_xy"][..., 1],
-                     jnp.cos(lat["tex_ori"]), jnp.sin(lat["tex_ori"])],
-                    axis=-1)                                      # [NL, Lt, 4]
-                rol_tpack = jnp.stack(
+                rol_tpackT = jnp.stack(
                     [blk["tex_x"], blk["tex_y"],
                      jnp.cos(blk["tex_ori"]), jnp.sin(blk["tex_ori"])],
-                    axis=-1)                                      # [B, Rt, 4]
-                tgl = jnp.take_along_axis(
-                    lat_tpack[:, None] + jnp.zeros((1, B, 1, 1)),
-                    li[..., None], axis=2)                        # [NL, B, k, 4]
-                tgr = jnp.take_along_axis(
-                    rol_tpack[None] + jnp.zeros((NL, 1, 1, 1)),
-                    ri[..., None], axis=2)
-                flat2 = lambda a: a.reshape((NL * B,) + a.shape[2:])
-                s_tex = pk.fused_graph_filter_packed(
-                    flat2(tval), flat2(tgl), flat2(tgr), flat2(li),
-                    flat2(ri), flat2(tvalid),
-                    lookup=True, dist_iters=3).reshape(NL, B)
+                    axis=1)                                      # [B, 4, Rt]
+                s_tex = pk.fused_graph_filter_infuse(
+                    tval, li, ri, tvalid, lat_tpackT, rol_tpackT,
+                    lookup=True, dist_iters=3)                   # [NL, B]
             else:
                 s_tex = jax.vmap(jax.vmap(pair_tex,
                                           in_axes=(0, 0, 0, None, None, 0, 0)),

@@ -71,6 +71,38 @@ def minutiae_correspondences(simi: jnp.ndarray, lat_valid: jnp.ndarray,
     return val, li, ri, valid
 
 
+def minutiae_correspondence_indices(simi: jnp.ndarray, lat_valid: jnp.ndarray,
+                                    rol_valid: jnp.ndarray,
+                                    top_n: int = MC.TOPN_MINU_CORR,
+                                    approx: bool = True):
+    """Batched top-N correspondence INDICES (no value gather).
+
+    Like minutiae_correspondences but operating on the full batched
+    similarity tensor simi [NT, B, Lm, Rm] (lat_valid [NT, Lm],
+    rol_valid [B, Rm]) and returning only (li, ri, valid) [NT, B, N] — the
+    correspondence weights are recovered in-VMEM by the fused filter kernel
+    (pallas_kernels.fused_graph_filter_infuse), which is far cheaper than an
+    XLA value gather on TPU.
+    """
+    NT, B, Lm, Rm = simi.shape
+    row = jnp.sum(simi, axis=-1)
+    col = jnp.sum(simi, axis=-2)
+    norm = simi / (row[..., :, None] + col[..., None, :] - simi + 1e-6)
+    pair_valid = lat_valid[:, None, :, None] & rol_valid[None, :, None, :]
+    norm = jnp.where(pair_valid, norm, -jnp.inf)
+
+    k = min(top_n, Lm * Rm)
+    flat = norm.reshape(NT, B, Lm * Rm)
+    if approx:
+        topv, topi = jax.lax.approx_max_k(flat, k, recall_target=0.95)
+    else:
+        topv, topi = jax.lax.top_k(flat, k)
+    li = topi // Rm
+    ri = topi % Rm
+    valid = topv > -jnp.inf
+    return li, ri, valid
+
+
 def minutiae_match_single(lat_des, lat_xy, lat_ori, lat_valid,
                           rol_des_t, rol_xy, rol_ori, rol_valid) -> jnp.ndarray:
     """Score one latent minutiae template against one rolled template.

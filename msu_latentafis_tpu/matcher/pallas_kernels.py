@@ -88,108 +88,111 @@ def _blockers(S, badf, eligible, idx_f):
     return badf * outranks * ef[:, None, :] * ef[:, :, None]
 
 
-def _make_filter_kernel(lookup: bool, dist_iters: int, K: int):
+def _filter_body(val, lx, ly, lc, ls, rx, ry, rc, rs, li, ri, vf,
+                 lookup: bool, dist_iters: int, K: int):
+    """Shared straight-line filter body over a [T, K] tile of correspondence
+    sets: distance H + power iterations + greedy rounds + angle H + power +
+    greedy. Returns the per-set filtered scores [T]."""
     d_thr = 30.0
     lut_n = 50.0
+    valid = vf > 0.5
 
+    idx_f = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)[0] \
+        .astype(jnp.float32)
+    eyef = (jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)) \
+        .astype(jnp.float32)
+    neyef = 1.0 - eyef                                    # [K, K]
+
+    # ---- stage 1: distance-consistency H
+    dxl = lx[:, :, None] - lx[:, None, :]
+    dyl = ly[:, :, None] - ly[:, None, :]
+    dxr = rx[:, :, None] - rx[:, None, :]
+    dyr = ry[:, :, None] - ry[:, None, :]
+    if lookup:
+        adxl, adyl = jnp.abs(dxl), jnp.abs(dyl)
+        adxr, adyr = jnp.abs(dxr), jnp.abs(dyr)
+        in_rangef = ((adxl < lut_n) & (adyl < lut_n)
+                     & (adxr < lut_n) & (adyr < lut_n)) \
+            .astype(jnp.float32)
+        d1 = 16.0 * jnp.sqrt(adxl * adxl + adyl * adyl)
+        d2 = 16.0 * jnp.sqrt(adxr * adxr + adyr * adyr)
+    else:
+        in_rangef = jnp.ones(dxl.shape, jnp.float32)
+        d1 = jnp.sqrt(dxl * dxl + dyl * dyl)
+        d2 = jnp.sqrt(dxr * dxr + dyr * dyr)
+    dist = jnp.abs(d1 - d2)
+    H1 = jnp.clip((30.0 - dist) / 25.0, 0.0, 1.0)
+    pairf = vf[:, None, :] * vf[:, :, None] * neyef[None]
+    gatef = in_rangef * (dist <= d_thr).astype(jnp.float32) * pairf
+    H1 = H1 * gatef
+
+    b0 = jnp.where(valid, val, 0.0)
+    S1 = _power_iter(H1, b0, dist_iters)
+
+    conflictf = jnp.minimum(
+        (li[:, :, None] == li[:, None, :]).astype(jnp.float32)
+        + (ri[:, :, None] == ri[:, None, :]).astype(jnp.float32), 1.0)
+    bad1f = jnp.minimum(conflictf
+                        + (H1 < 1e-5).astype(jnp.float32), 1.0) * neyef[None]
+    elig1 = valid & (S1 >= 1e-4)
+    sel1 = _greedy_rounds(S1, _blockers(S1, bad1f, elig1, idx_f), elig1)
+
+    # ---- stage 2: angle-consistency H (trig-free)
+    cos_rel_l = lc[:, :, None] * lc[:, None, :] + ls[:, :, None] * ls[:, None, :]
+    sin_rel_l = ls[:, :, None] * lc[:, None, :] - lc[:, :, None] * ls[:, None, :]
+    cos_rel_r = rc[:, :, None] * rc[:, None, :] + rs[:, :, None] * rs[:, None, :]
+    sin_rel_r = rs[:, :, None] * rc[:, None, :] - rc[:, :, None] * rs[:, None, :]
+    t1 = (cos_rel_l * cos_rel_r + sin_rel_l * sin_rel_r) >= _COS_PI_4
+
+    r2l = dxl * dxl + dyl * dyl
+    zl = r2l == 0.0
+    invl = jax.lax.rsqrt(jnp.where(zl, 1.0, r2l))
+    cLl = jnp.where(zl, 1.0, dxl * invl)
+    sLl = jnp.where(zl, 0.0, -dyl * invl)
+    r2r = dxr * dxr + dyr * dyr
+    zr = r2r == 0.0
+    invr = jax.lax.rsqrt(jnp.where(zr, 1.0, r2r))
+    cLr = jnp.where(zr, 1.0, dxr * invr)
+    sLr = jnp.where(zr, 0.0, -dyr * invr)
+
+    def cdd(c_a, s_a, c_b, s_b, c_c, s_c, c_d, s_d):
+        cab = c_a * c_b + s_a * s_b
+        sab = s_a * c_b - c_a * s_b
+        ccd = c_c * c_d + s_c * s_d
+        scd = s_c * c_d - c_c * s_d
+        return cab * ccd + sab * scd
+
+    t2 = cdd(lc[:, :, None], ls[:, :, None], cLl, sLl,
+             rc[:, :, None], rs[:, :, None], cLr, sLr) >= _COS_PI_6
+    t3 = cdd(lc[:, None, :], ls[:, None, :], cLl, sLl,
+             rc[:, None, :], rs[:, None, :], cLr, sLr) >= _COS_PI_6
+
+    s1f = sel1.astype(jnp.float32)
+    selpairf = s1f[:, None, :] * s1f[:, :, None] * neyef[None]
+    H2f = (t1 & t2 & t3).astype(jnp.float32) * selpairf
+
+    n2 = jnp.sum(s1f, axis=1, keepdims=True)
+    b2 = jnp.where(sel1, 1.0 / jnp.maximum(n2, 1.0), 0.0)
+    S2 = _power_iter(H2f, b2, 5)
+
+    bad2f = jnp.minimum(conflictf
+                        + (H2f < 0.5).astype(jnp.float32), 1.0) * neyef[None]
+    elig2 = sel1 & (S2 >= 1e-3)
+    sel2 = _greedy_rounds(S2, _blockers(S2, bad2f, elig2, idx_f), elig2)
+
+    return jnp.sum(jnp.where(sel2, val, 0.0), axis=1)
+
+
+def _make_filter_kernel(lookup: bool, dist_iters: int, K: int):
     def kernel(val_ref, lx_ref, ly_ref, lc_ref, ls_ref, rx_ref, ry_ref,
                rc_ref, rs_ref, li_ref, ri_ref, valid_ref, score_ref):
-        T = val_ref.shape[0]
-        val = val_ref[...]
-        lx, ly = lx_ref[...], ly_ref[...]
-        rx, ry = rx_ref[...], ry_ref[...]
-        lc, ls = lc_ref[...], ls_ref[...]
-        rc, rs = rc_ref[...], rs_ref[...]
-        li, ri = li_ref[...], ri_ref[...]
-        valid = valid_ref[...] > 0.5
-        vf = valid_ref[...]
-
-        idx_f = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)[0] \
-            .astype(jnp.float32)
-        eyef = (jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
-                == jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)) \
-            .astype(jnp.float32)
-        neyef = 1.0 - eyef                                    # [K, K]
-
-        # ---- stage 1: distance-consistency H
-        dxl = lx[:, :, None] - lx[:, None, :]
-        dyl = ly[:, :, None] - ly[:, None, :]
-        dxr = rx[:, :, None] - rx[:, None, :]
-        dyr = ry[:, :, None] - ry[:, None, :]
-        if lookup:
-            adxl, adyl = jnp.abs(dxl), jnp.abs(dyl)
-            adxr, adyr = jnp.abs(dxr), jnp.abs(dyr)
-            in_rangef = ((adxl < lut_n) & (adyl < lut_n)
-                         & (adxr < lut_n) & (adyr < lut_n)) \
-                .astype(jnp.float32)
-            d1 = 16.0 * jnp.sqrt(adxl * adxl + adyl * adyl)
-            d2 = 16.0 * jnp.sqrt(adxr * adxr + adyr * adyr)
-        else:
-            in_rangef = jnp.ones(dxl.shape, jnp.float32)
-            d1 = jnp.sqrt(dxl * dxl + dyl * dyl)
-            d2 = jnp.sqrt(dxr * dxr + dyr * dyr)
-        dist = jnp.abs(d1 - d2)
-        H1 = jnp.clip((30.0 - dist) / 25.0, 0.0, 1.0)
-        pairf = vf[:, None, :] * vf[:, :, None] * neyef[None]
-        gatef = in_rangef * (dist <= d_thr).astype(jnp.float32) * pairf
-        H1 = H1 * gatef
-
-        b0 = jnp.where(valid, val, 0.0)
-        S1 = _power_iter(H1, b0, dist_iters)
-
-        conflictf = jnp.minimum(
-            (li[:, :, None] == li[:, None, :]).astype(jnp.float32)
-            + (ri[:, :, None] == ri[:, None, :]).astype(jnp.float32), 1.0)
-        bad1f = jnp.minimum(conflictf
-                            + (H1 < 1e-5).astype(jnp.float32), 1.0) * neyef[None]
-        elig1 = valid & (S1 >= 1e-4)
-        sel1 = _greedy_rounds(S1, _blockers(S1, bad1f, elig1, idx_f), elig1)
-
-        # ---- stage 2: angle-consistency H (trig-free)
-        cos_rel_l = lc[:, :, None] * lc[:, None, :] + ls[:, :, None] * ls[:, None, :]
-        sin_rel_l = ls[:, :, None] * lc[:, None, :] - lc[:, :, None] * ls[:, None, :]
-        cos_rel_r = rc[:, :, None] * rc[:, None, :] + rs[:, :, None] * rs[:, None, :]
-        sin_rel_r = rs[:, :, None] * rc[:, None, :] - rc[:, :, None] * rs[:, None, :]
-        t1 = (cos_rel_l * cos_rel_r + sin_rel_l * sin_rel_r) >= _COS_PI_4
-
-        r2l = dxl * dxl + dyl * dyl
-        zl = r2l == 0.0
-        invl = jax.lax.rsqrt(jnp.where(zl, 1.0, r2l))
-        cLl = jnp.where(zl, 1.0, dxl * invl)
-        sLl = jnp.where(zl, 0.0, -dyl * invl)
-        r2r = dxr * dxr + dyr * dyr
-        zr = r2r == 0.0
-        invr = jax.lax.rsqrt(jnp.where(zr, 1.0, r2r))
-        cLr = jnp.where(zr, 1.0, dxr * invr)
-        sLr = jnp.where(zr, 0.0, -dyr * invr)
-
-        def cdd(c_a, s_a, c_b, s_b, c_c, s_c, c_d, s_d):
-            cab = c_a * c_b + s_a * s_b
-            sab = s_a * c_b - c_a * s_b
-            ccd = c_c * c_d + s_c * s_d
-            scd = s_c * c_d - c_c * s_d
-            return cab * ccd + sab * scd
-
-        t2 = cdd(lc[:, :, None], ls[:, :, None], cLl, sLl,
-                 rc[:, :, None], rs[:, :, None], cLr, sLr) >= _COS_PI_6
-        t3 = cdd(lc[:, None, :], ls[:, None, :], cLl, sLl,
-                 rc[:, None, :], rs[:, None, :], cLr, sLr) >= _COS_PI_6
-
-        s1f = sel1.astype(jnp.float32)
-        selpairf = s1f[:, None, :] * s1f[:, :, None] * neyef[None]
-        H2f = (t1 & t2 & t3).astype(jnp.float32) * selpairf
-
-        n2 = jnp.sum(s1f, axis=1, keepdims=True)
-        b2 = jnp.where(sel1, 1.0 / jnp.maximum(n2, 1.0), 0.0)
-        S2 = _power_iter(H2f, b2, 5)
-
-        bad2f = jnp.minimum(conflictf
-                            + (H2f < 0.5).astype(jnp.float32), 1.0) * neyef[None]
-        elig2 = sel1 & (S2 >= 1e-3)
-        sel2 = _greedy_rounds(S2, _blockers(S2, bad2f, elig2, idx_f), elig2)
-
-        score_ref[...] = jnp.sum(jnp.where(sel2, val, 0.0), axis=1,
-                                 keepdims=True)
+        score = _filter_body(
+            val_ref[...], lx_ref[...], ly_ref[...], lc_ref[...], ls_ref[...],
+            rx_ref[...], ry_ref[...], rc_ref[...], rs_ref[...],
+            li_ref[...], ri_ref[...], valid_ref[...],
+            lookup, dist_iters, K)
+        score_ref[...] = score[:, None]
 
     return kernel
 
@@ -278,6 +281,116 @@ def fused_graph_filter_packed(val, gl, gr, li, ri, valid, lookup: bool,
         interpret=interpret,
     )(*arrays)
     return out[:NP, 0]
+
+
+def _make_filter_gather_kernel(lookup: bool, dist_iters: int, K: int,
+                               tile_b: int, P: int, R: int,
+                               recover_val: bool):
+    """Filter kernel with IN-KERNEL operand gathers.
+
+    XLA gathers on TPU are per-element slow (~90-400M elements/s); gathering
+    the per-correspondence coordinate packs for every (template, gallery)
+    pair dominated the match step. Here the kernel receives the raw
+    coordinate packs (latent [4, P] — shared by a whole gallery block — and
+    rolled [tile_b, 4, R]) plus the correspondence indices, and performs the
+    gathers as one-hot MXU matmuls in VMEM: gl = lpackT @ onehot(li).
+    With ``recover_val`` the correspondence weights are also recovered from
+    the similarity block (val[k] = simi[li_k, ri_k] via two one-hot
+    contractions), eliminating the [NP, K] value gather entirely.
+    """
+
+    def kernel(*refs):
+        if recover_val:
+            li_ref, ri_ref, valid_ref, lpackT_ref, rpackT_ref, simi_ref, \
+                score_ref = refs
+        else:
+            val_ref, li_ref, ri_ref, valid_ref, lpackT_ref, rpackT_ref, \
+                score_ref = refs
+        li, ri = li_ref[...], ri_ref[...]                  # [tile_b, K] f32
+        vf = valid_ref[...]
+        lpackT = lpackT_ref[...]                           # [4, P]
+        iota_pk = jax.lax.broadcasted_iota(jnp.int32, (P, K), 0) \
+            .astype(jnp.float32)
+        iota_rk = jax.lax.broadcasted_iota(jnp.int32, (R, K), 0) \
+            .astype(jnp.float32)
+        gls, grs, vals = [], [], []
+        for s in range(tile_b):
+            oh_lT = (iota_pk == li[s][None, :]).astype(jnp.float32)  # [P, K]
+            oh_rT = (iota_rk == ri[s][None, :]).astype(jnp.float32)  # [R, K]
+            gls.append(jnp.dot(lpackT, oh_lT,
+                               preferred_element_type=jnp.float32))  # [4, K]
+            grs.append(jnp.dot(rpackT_ref[s], oh_rT,
+                               preferred_element_type=jnp.float32))
+            if recover_val:
+                simi_s = simi_ref[s].astype(jnp.float32)             # [P, R]
+                tmp = jnp.dot(simi_s, oh_rT,
+                              preferred_element_type=jnp.float32)    # [P, K]
+                vals.append(jnp.sum(tmp * oh_lT, axis=0))            # [K]
+        gl = jnp.stack(gls)                                # [tile_b, 4, K]
+        gr = jnp.stack(grs)
+        val = jnp.stack(vals) if recover_val else val_ref[...]
+        score = _filter_body(val, gl[:, 0], gl[:, 1], gl[:, 2], gl[:, 3],
+                             gr[:, 0], gr[:, 1], gr[:, 2], gr[:, 3],
+                             li, ri, vf, lookup, dist_iters, K)
+        score_ref[...] = score[:, None]
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("lookup", "dist_iters", "tile_b",
+                                    "interpret"))
+def fused_graph_filter_infuse(val, li, ri, valid, lpackT, rpackT,
+                              lookup: bool, dist_iters: int, simi=None,
+                              tile_b: int = 0,
+                              interpret: bool = False) -> jnp.ndarray:
+    """Graph filter over a [NT, B] grid of correspondence sets with all
+    operand gathers fused into the kernel (see _make_filter_gather_kernel).
+
+    val:   [NT, B, K] f32 correspondence weights, or None with ``simi``
+           given — then weights are recovered in-kernel from the similarity
+           block (val[k] = simi[li_k, ri_k]).
+    li/ri: [NT, B, K] int32 correspondence indices into the latent (P) /
+           rolled (R) minutiae axes. valid: [NT, B, K] bool.
+    lpackT: [NT, 4, P] latent (x, y, cos ori, sin ori) planes.
+    rpackT: [B, 4, R] rolled coordinate planes.
+    simi:  optional [NT, B, P, R] similarity blocks.
+    Returns filtered scores [NT, B] f32.
+    """
+    NT, B, K = li.shape
+    P = lpackT.shape[2]
+    R = rpackT.shape[2]
+    if tile_b == 0:
+        tile_b = 16 if K <= 128 else 8
+    assert B % tile_b == 0, (B, tile_b)
+    lif = li.astype(jnp.float32)
+    rif = ri.astype(jnp.float32)
+    validf = valid.astype(jnp.float32)
+
+    recover_val = simi is not None
+    kernel = _make_filter_gather_kernel(lookup, dist_iters, K, tile_b, P, R,
+                                        recover_val)
+    spec_k = pl.BlockSpec((None, tile_b, K), lambda t, b: (t, b, 0))
+    in_specs = [spec_k, spec_k, spec_k,
+                pl.BlockSpec((None, 4, P), lambda t, b: (t, 0, 0)),
+                pl.BlockSpec((tile_b, 4, R), lambda t, b: (b, 0, 0))]
+    args = [lif, rif, validf, lpackT, rpackT]
+    if recover_val:
+        in_specs.append(pl.BlockSpec((None, tile_b, P, R),
+                                     lambda t, b: (t, b, 0, 0)))
+        args.append(simi)
+    else:
+        in_specs.insert(0, spec_k)
+        args.insert(0, val)
+    out = pl.pallas_call(
+        kernel,
+        grid=(NT, B // tile_b),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((None, tile_b, 1), lambda t, b: (t, b, 0)),
+        out_shape=jax.ShapeDtypeStruct((NT, B, 1), jnp.float32),
+        interpret=interpret,
+    )(*args)
+    return out[..., 0]
 
 
 def _adc_rowmax_codes_kernel(n_clusters: int):

@@ -96,3 +96,77 @@ def test_fused_adc_rowmax_codes_matches_decode(rng):
     np.testing.assert_allclose(np.asarray(best), np.asarray(want_best),
                                rtol=1e-5, atol=1e-4)
     np.testing.assert_array_equal(np.asarray(bestj), np.asarray(want_j))
+
+
+@pytest.mark.parametrize("lookup,iters,use_simi", [
+    (True, 3, False), (False, 5, False), (False, 5, True), (True, 3, True)])
+def test_fused_graph_filter_infuse_matches_packed(rng, lookup, iters,
+                                                  use_simi):
+    """In-kernel one-hot gathers (and optional in-kernel value recovery)
+    must reproduce fused_graph_filter_packed fed with XLA-side gathers."""
+    NT, B, K, P, R = 2, 4, 32, 16, 24
+    hi = 30 if lookup else 480
+    lx = rng.integers(0, hi, (NT, P)).astype(np.float32)
+    ly = rng.integers(0, hi, (NT, P)).astype(np.float32)
+    lo = rng.uniform(-np.pi, np.pi, (NT, P)).astype(np.float32)
+    rx = rng.integers(0, hi, (B, R)).astype(np.float32)
+    ry = rng.integers(0, hi, (B, R)).astype(np.float32)
+    ro = rng.uniform(-np.pi, np.pi, (B, R)).astype(np.float32)
+    lpackT = jnp.asarray(np.stack([lx, ly, np.cos(lo), np.sin(lo)], axis=1))
+    rpackT = jnp.asarray(np.stack([rx, ry, np.cos(ro), np.sin(ro)], axis=1))
+    li = rng.integers(0, P, (NT, B, K)).astype(np.int32)
+    ri = rng.integers(0, R, (NT, B, K)).astype(np.int32)
+    valid = rng.random((NT, B, K)) > 0.15
+
+    if use_simi:
+        simi = rng.uniform(0.0, 3.0, (NT, B, P, R)).astype(np.float32)
+        val = np.take_along_axis(
+            simi.reshape(NT, B, P * R), li * R + ri, axis=2)
+        val_arg, simi_arg = None, jnp.asarray(simi)
+    else:
+        val = rng.uniform(0.5, 3.0, (NT, B, K)).astype(np.float32)
+        val_arg, simi_arg = jnp.asarray(val), None
+
+    got = pk.fused_graph_filter_infuse(
+        val_arg, jnp.asarray(li), jnp.asarray(ri), jnp.asarray(valid),
+        lpackT, rpackT, lookup=lookup, dist_iters=iters, simi=simi_arg,
+        tile_b=2, interpret=True)
+
+    # XLA-side gathers -> packed kernel (already validated vs the reference)
+    gl = np.stack([np.take_along_axis(
+        np.broadcast_to(lpackT[:, j, None, :], (NT, B, P)).reshape(NT, B, P),
+        li, axis=2) for j in range(4)], axis=-1)           # [NT, B, K, 4]
+    gr = np.stack([np.take_along_axis(
+        np.broadcast_to(np.asarray(rpackT)[None, :, j, :], (NT, B, R)),
+        ri, axis=2) for j in range(4)], axis=-1)
+    flat = lambda a: jnp.asarray(a.reshape((NT * B,) + a.shape[2:]))
+    want = pk.fused_graph_filter_packed(
+        flat(val), flat(np.asarray(gl)), flat(gr), flat(li), flat(ri),
+        flat(valid), lookup=lookup, dist_iters=iters, tile=2,
+        interpret=True).reshape(NT, B)
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_minutiae_correspondence_indices_matches_full(rng):
+    from msu_latentafis_tpu.matcher.minutiae_match import (
+        minutiae_correspondence_indices, minutiae_correspondences)
+    NT, B, Lm, Rm = 2, 3, 20, 28
+    simi = jnp.asarray(rng.uniform(0, 2, (NT, B, Lm, Rm)), jnp.float32)
+    lat_valid = jnp.asarray(rng.random((NT, Lm)) > 0.2)
+    rol_valid = jnp.asarray(rng.random((B, Rm)) > 0.2)
+    simi = jnp.where(lat_valid[:, None, :, None]
+                     & rol_valid[None, :, None, :], simi, 0.0)
+
+    li, ri, valid = minutiae_correspondence_indices(
+        simi, lat_valid, rol_valid, top_n=40, approx=False)
+
+    want = jax.vmap(jax.vmap(
+        lambda s, lv, rv: minutiae_correspondences(s, lv, rv, top_n=40),
+        in_axes=(0, None, 0)), in_axes=(0, 0, None))(
+        simi, lat_valid, rol_valid)
+    _, wli, wri, wvalid = want
+    np.testing.assert_array_equal(np.asarray(li), np.asarray(wli))
+    np.testing.assert_array_equal(np.asarray(ri), np.asarray(wri))
+    np.testing.assert_array_equal(np.asarray(valid), np.asarray(wvalid))
