@@ -22,7 +22,6 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-import os
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -33,15 +32,9 @@ from ..templates.data_model import MatcherConstants as MC
 from ..templates.packing import PackedGallery, PackedLatent
 from . import pallas_kernels as pk
 from .graph_filter import filter_correspondences
-from .minutiae_match import (minutiae_correspondence_indices,
-                             minutiae_match_single, minutiae_similarity)
+from .minutiae_match import minutiae_match_single
 from .texture_match import (block_diag_codebook, decode_pq, decode_pq_matmul,
-                            texture_similarity, texture_match_from_simi)
-
-# Profiling-only ablation switches (scripts/profile_match.py): comma-set of
-# {"mcorr", "textopk"} to stub the minutiae correspondence top-k / texture
-# top-k with cheap slices. Never set in production.
-_ABLATE = frozenset(os.environ.get("ENGINE_ABLATE", "").split(","))
+                            texture_similarity)
 
 
 @dataclasses.dataclass
@@ -338,7 +331,9 @@ class MatchEngine:
 
         def step(carry, i):
             blk = get_block(i)
-            if blk["minu_des"].dtype == jnp.int8:
+            if not on_tpu and blk["minu_des"].dtype == jnp.int8:
+                # the TPU kernels cast int8 tiles in VMEM (halving the
+                # dominant HBM read); the XLA path casts here
                 blk["minu_des"] = blk["minu_des"].astype(dtype)
             Rm = blk["minu_des"].shape[2]
             rol_minu_valid = jnp.arange(Rm)[None, :] < blk["minu_n"][:, None]
@@ -348,30 +343,20 @@ class MatchEngine:
             tex_xy = jnp.stack([blk["tex_x"], blk["tex_y"]], axis=-1)
 
             if on_tpu:
-                simi = minutiae_similarity(
-                    fl_des[:, None], fl_valid[:, None],
-                    blk["minu_des"][None], rol_minu_valid[None])
-                if "mcorr" in _ABLATE:
-                    Kc = min(MC.TOPN_MINU_CORR, Lm * Rm)
-                    idx = jnp.arange(Kc, dtype=jnp.int32)
-                    shp = (NL * T, B, Kc)
-                    mli = jnp.broadcast_to(idx // Rm, shp)
-                    mri = jnp.broadcast_to(idx % Rm, shp)
-                    mvalid = jnp.ones(shp, bool)
-                else:
-                    mli, mri, mvalid = minutiae_correspondence_indices(
-                        simi, fl_valid, rol_minu_valid, approx=True)
                 rol_packT = jnp.stack(
                     [blk["minu_x"], blk["minu_y"],
                      jnp.cos(blk["minu_ori"]), jnp.sin(blk["minu_ori"])],
                     axis=1)                                      # [B, 4, Rm]
-                # correspondence weights + coordinate gathers happen inside
-                # the kernel (one-hot MXU contractions in VMEM) — XLA
-                # gathers here dominated the whole match step
-                s_minu = pk.fused_graph_filter_infuse(
-                    None, mli, mri, mvalid, lat_packT, rol_packT,
-                    lookup=False, dist_iters=5,
-                    simi=simi).reshape(NL, T, B)
+                # whole minutiae-template match in one kernel: similarity
+                # GEMM + mutual norm + top-120 threshold selection +
+                # two-stage graph filter, nothing but scores leave VMEM
+                # (the XLA formulation paid ~25 ms/block in approx_max_k
+                # alone and materialized the [NT, B, Lm, Rm] similarity)
+                s_minu = pk.fused_minutiae_match(
+                    fl_des, fl_valid.astype(jnp.float32),
+                    blk["minu_des"], rol_minu_valid.astype(jnp.float32),
+                    lat_packT, rol_packT, top_n=MC.TOPN_MINU_CORR,
+                    lookup=False, dist_iters=5).reshape(NL, T, B)
             else:
                 s_minu = over_templates(
                     fl_des, fl_xy, fl_ori, fl_valid,
@@ -422,28 +407,22 @@ class MatchEngine:
                 bestj = jnp.argmax(simi, axis=-1).astype(jnp.int32)
                 best = jnp.where(jnp.isfinite(best), best, pk.NEG_BIG)
 
-            # invalid latent rows drop out of the top-K
-            best = jnp.where(lat_tex_valid[:, None, :], best, pk.NEG_BIG)
-            if "textopk" in _ABLATE:
-                topv = best[..., :k_tex]
-                li = jnp.broadcast_to(jnp.arange(k_tex, dtype=jnp.int32),
-                                      topv.shape)
-                ri = bestj[..., :k_tex]
-            else:
-                topv, li = jax.lax.top_k(best, k_tex)        # [NL, B, k]
-                ri = jnp.take_along_axis(bestj, li, axis=2)
-
             if on_tpu:
-                tvalid = topv > pk.NEG_BIG / 2
-                tval = jnp.where(tvalid, topv, 0.0)
                 rol_tpackT = jnp.stack(
                     [blk["tex_x"], blk["tex_y"],
                      jnp.cos(blk["tex_ori"]), jnp.sin(blk["tex_ori"])],
                     axis=1)                                      # [B, 4, Rt]
-                s_tex = pk.fused_graph_filter_infuse(
-                    tval, li, ri, tvalid, lat_tpackT, rol_tpackT,
-                    lookup=True, dist_iters=3)                   # [NL, B]
+                # top-200 threshold selection + graph filter in one kernel
+                # (XLA's top_k(448->200) + index gather cost ~14 ms/block)
+                s_tex = pk.fused_texture_match(
+                    best, bestj, lat_tex_valid.astype(jnp.float32),
+                    lat_tpackT, rol_tpackT, top_n=k_tex, lookup=True,
+                    dist_iters=3)                                # [NL, B]
             else:
+                # invalid latent rows drop out of the top-K
+                best = jnp.where(lat_tex_valid[:, None, :], best, pk.NEG_BIG)
+                topv, li = jax.lax.top_k(best, k_tex)        # [NL, B, k]
+                ri = jnp.take_along_axis(bestj, li, axis=2)
                 s_tex = jax.vmap(jax.vmap(pair_tex,
                                           in_axes=(0, 0, 0, None, None, 0, 0)),
                                  in_axes=(0, 0, 0, 0, 0, None, None))(

@@ -45,14 +45,17 @@ def _adc_rowmax_kernel(x_ref, lsq_ref, dect_ref, rsq_ref, tvalid_ref,
 def _greedy_rounds(S, blockers, eligible):
     """Parallel greedy-by-priority rounds over a [T, K] tile (see
     graph_filter.greedy_one_to_one for the equivalence argument). Carries
-    are f32 masks — Mosaic cannot legalize while_loop over i1 vectors."""
+    are f32 masks — Mosaic cannot legalize while_loop over i1 vectors.
+    Each while iteration runs TWO rounds: a round is a no-op once its set
+    converged, so this is exact while halving the serial scalar-reduce
+    chain of ``cond`` (the cond reduction is latency-bound on TPU)."""
     elig_f = eligible.astype(jnp.float32)
 
     def cond(state):
         sel, rej = state
         return jnp.sum(elig_f * (1.0 - sel) * (1.0 - rej)) > 0.0
 
-    def body(state):
+    def one_round(state):
         sel, rej = state
         undecided = elig_f * (1.0 - sel) * (1.0 - rej)
         blocked_by_sel = (jnp.sum(blockers * sel[:, None, :], axis=2)
@@ -62,6 +65,9 @@ def _greedy_rounds(S, blockers, eligible):
         sel = jnp.minimum(sel + undecided * (1.0 - any_live), 1.0)
         rej = jnp.minimum(rej + undecided * blocked_by_sel, 1.0)
         return sel, rej
+
+    def body(state):
+        return one_round(one_round(state))
 
     zeros = jnp.zeros_like(elig_f)
     sel, _ = jax.lax.while_loop(cond, body, (zeros, zeros))
@@ -118,13 +124,15 @@ def _filter_body(val, lx, ly, lc, ls, rx, ry, rc, rs, li, ri, vf,
         d1 = 16.0 * jnp.sqrt(adxl * adxl + adyl * adyl)
         d2 = 16.0 * jnp.sqrt(adxr * adxr + adyr * adyr)
     else:
-        in_rangef = jnp.ones(dxl.shape, jnp.float32)
+        in_rangef = None
         d1 = jnp.sqrt(dxl * dxl + dyl * dyl)
         d2 = jnp.sqrt(dxr * dxr + dyr * dyr)
     dist = jnp.abs(d1 - d2)
     H1 = jnp.clip((30.0 - dist) / 25.0, 0.0, 1.0)
     pairf = vf[:, None, :] * vf[:, :, None] * neyef[None]
-    gatef = in_rangef * (dist <= d_thr).astype(jnp.float32) * pairf
+    gatef = (dist <= d_thr).astype(jnp.float32) * pairf
+    if in_rangef is not None:
+        gatef = in_rangef * gatef
     H1 = H1 * gatef
 
     b0 = jnp.where(valid, val, 0.0)
@@ -139,11 +147,16 @@ def _filter_body(val, lx, ly, lc, ls, rx, ry, rc, rs, li, ri, vf,
     sel1 = _greedy_rounds(S1, _blockers(S1, bad1f, elig1, idx_f), elig1)
 
     # ---- stage 2: angle-consistency H (trig-free)
-    cos_rel_l = lc[:, :, None] * lc[:, None, :] + ls[:, :, None] * ls[:, None, :]
-    sin_rel_l = ls[:, :, None] * lc[:, None, :] - lc[:, :, None] * ls[:, None, :]
-    cos_rel_r = rc[:, :, None] * rc[:, None, :] + rs[:, :, None] * rs[:, None, :]
-    sin_rel_r = rs[:, :, None] * rc[:, None, :] - rc[:, :, None] * rs[:, None, :]
-    t1 = (cos_rel_l * cos_rel_r + sin_rel_l * sin_rel_r) >= _COS_PI_4
+    # the three tests reduce to rotations of v_i = lori_i - rori_i (a
+    # per-correspondence 2D quantity) and u = angle_l - angle_r (pairwise):
+    # t1 = cos(v_i - v_j) >= cos(pi/4); t2 = cos(v_i - u) >= cos(pi/6);
+    # t3 = cos(v_j - u) >= cos(pi/6) — algebraically identical to the
+    # reference's adjust_angle tests (matcher.cpp:1471-1647) but built from
+    # [T, K] slot vectors instead of four [T, K, K] relative-angle tensors
+    cos_v = lc * rc + ls * rs                              # [T, K]
+    sin_v = ls * rc - lc * rs
+    t1 = (cos_v[:, :, None] * cos_v[:, None, :]
+          + sin_v[:, :, None] * sin_v[:, None, :]) >= _COS_PI_4
 
     r2l = dxl * dxl + dyl * dyl
     zl = r2l == 0.0
@@ -155,18 +168,11 @@ def _filter_body(val, lx, ly, lc, ls, rx, ry, rc, rs, li, ri, vf,
     invr = jax.lax.rsqrt(jnp.where(zr, 1.0, r2r))
     cLr = jnp.where(zr, 1.0, dxr * invr)
     sLr = jnp.where(zr, 0.0, -dyr * invr)
+    cos_u = cLl * cLr + sLl * sLr                          # [T, K, K]
+    sin_u = sLl * cLr - cLl * sLr
 
-    def cdd(c_a, s_a, c_b, s_b, c_c, s_c, c_d, s_d):
-        cab = c_a * c_b + s_a * s_b
-        sab = s_a * c_b - c_a * s_b
-        ccd = c_c * c_d + s_c * s_d
-        scd = s_c * c_d - c_c * s_d
-        return cab * ccd + sab * scd
-
-    t2 = cdd(lc[:, :, None], ls[:, :, None], cLl, sLl,
-             rc[:, :, None], rs[:, :, None], cLr, sLr) >= _COS_PI_6
-    t3 = cdd(lc[:, None, :], ls[:, None, :], cLl, sLl,
-             rc[:, None, :], rs[:, None, :], cLr, sLr) >= _COS_PI_6
+    t2 = (cos_v[:, :, None] * cos_u + sin_v[:, :, None] * sin_u) >= _COS_PI_6
+    t3 = (cos_v[:, None, :] * cos_u + sin_v[:, None, :] * sin_u) >= _COS_PI_6
 
     s1f = sel1.astype(jnp.float32)
     selpairf = s1f[:, None, :] * s1f[:, :, None] * neyef[None]
@@ -390,6 +396,380 @@ def fused_graph_filter_infuse(val, li, ri, valid, lpackT, rpackT,
         out_shape=jax.ShapeDtypeStruct((NT, B, 1), jnp.float32),
         interpret=interpret,
     )(*args)
+    return out[..., 0]
+
+
+def _strict_lt(n: int, m: int) -> jnp.ndarray:
+    """[n, m] f32 with A[i, j] = 1 where i < j (prefix-sum matmul mask)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (n, m), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (n, m), 1)
+    return (r < c).astype(jnp.float32)
+
+
+def _select_slots_batched(candm, K: int, lo0, hi0, iters: int,
+                          strict_cols, block_rowsT, ent_mat):
+    """Top-K-per-entry threshold selection over a batched candidate matrix.
+
+    candm: [Rows, C] f32 where consecutive groups of rows belong to one
+    selection entry (invalid values must sit at/below every entry's lo0).
+    lo0 / hi0: [Rows, 1] f32 bisect bounds, constant within each entry,
+    with count(> lo0) >= 0 and count(> hi0) == 0 per entry.
+    strict_cols: [C, C] f32 (i < j); block_rowsT: [Rows, Rows] f32 with
+    A[i, j] = 1 where j < i AND same entry (None when each row is its own
+    entry); ent_mat: [Rows, Rows] f32 same-entry indicator (None likewise).
+
+    One vectorized bisect serves every entry in the tile (a per-entry
+    scalar bisect serializes ~300 scalar reductions per grid step — it
+    measured ~20x slower). Elements strictly above hi are definite top-K
+    members; the (lo, hi] tie band fills remaining slots in row-major
+    order. Returns (sel, slot): f32 selection mask and each selected
+    element's output position in [0, K).
+    """
+    Kf = float(K)
+
+    def ent_sum(x):                                    # [Rows, 1] per-entry
+        if ent_mat is None:
+            return x
+        return jnp.dot(ent_mat, x, preferred_element_type=jnp.float32)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = 0.5 * (lo + hi)
+        cnt = ent_sum(jnp.sum((candm > mid).astype(jnp.float32),
+                              axis=1, keepdims=True))
+        big = cnt > Kf
+        return jnp.where(big, mid, lo), jnp.where(big, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, iters, body, (lo0, hi0))
+    mask_hi = (candm > hi).astype(jnp.float32)
+    mask_tie = (candm > lo).astype(jnp.float32) * (1.0 - mask_hi)
+    n_hi = ent_sum(jnp.sum(mask_hi, axis=1, keepdims=True))
+    fill = Kf - n_hi                                   # [Rows, 1]
+
+    def rank(mask):                                    # row-major per entry
+        cs = jnp.dot(mask, strict_cols, preferred_element_type=jnp.float32)
+        rc = jnp.sum(mask, axis=1, keepdims=True)
+        if block_rowsT is None:
+            return cs
+        return cs + jnp.dot(block_rowsT, rc,
+                            preferred_element_type=jnp.float32)
+
+    slot_hi = rank(mask_hi)
+    rank_tie = rank(mask_tie)
+    sel_tie = mask_tie * (rank_tie < fill).astype(jnp.float32)
+    sel = mask_hi + sel_tie
+    slot = slot_hi * mask_hi + (n_hi + rank_tie) * sel_tie
+    return sel, slot
+
+
+def _block_mats(rows: int, group: int):
+    """(block_rowsT, ent_mat) for _select_slots_batched: same-entry
+    strictly-lower and same-entry indicator [rows, rows] f32 masks, where
+    entry id = row // group."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0) \
+        .astype(jnp.float32)
+    c = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1) \
+        .astype(jnp.float32)
+    ent_r = jnp.floor(r / float(group))
+    ent_c = jnp.floor(c / float(group))
+    same = (ent_r == ent_c).astype(jnp.float32)
+    return same * (c < r).astype(jnp.float32), same
+
+
+def _make_minutiae_match_kernel(K: int, tile_b: int, P: int, R: int,
+                                row_cap: int, lookup: bool, dist_iters: int,
+                                bisect_iters: int = 30):
+    """End-to-end minutiae-template scoring kernel.
+
+    Per (latent template, gallery entry) pair, entirely in VMEM:
+    descriptor similarity MXU matmul + clamp (matcher.cpp:440-452), mutual
+    normalization (:454-470), top-K correspondence selection (:471-488),
+    then both graph-filter stages (_filter_body). Selection is
+    per-latent-row iterative max extraction (``row_cap`` rounds) followed
+    by ONE tile-wide threshold bisect + row-major rank compaction over the
+    stacked [tile_b*row_cap, P] candidate table — no sort primitive (XLA's
+    top_k/approx_max_k cost ~25 ms per gallery block at match shapes).
+    Exact top-K whenever no latent minutia contributes more than
+    ``row_cap`` of the true top-K (cf. the engine's previous approx_max_k
+    recall_target=0.95 path); boundary ties fill in row-major order — the
+    reference's value-sorted tie order is unobservable downstream except
+    for exact power-iteration score ties."""
+    SENT = -3.0          # below any normalized similarity; marks invalid
+
+    def kernel(ldes_ref, lvalid_ref, rdes_ref, rvalid_ref, lpackT_ref,
+               rpackT_ref, score_ref):
+        ldes = ldes_ref[...]                                    # [P, D]
+        lvalid = lvalid_ref[...]                                # [P, 1]
+        lpackT = lpackT_ref[...]                                # [4, P]
+        strictP = _strict_lt(P, P)
+        rows = tile_b * row_cap
+        block_rowsT, ent_mat = _block_mats(rows, row_cap)
+        iota_pk = jax.lax.broadcasted_iota(jnp.int32, (P, K), 0) \
+            .astype(jnp.float32)
+        iota_rk = jax.lax.broadcasted_iota(jnp.int32, (R, K), 0) \
+            .astype(jnp.float32)
+        iota_k3 = jax.lax.broadcasted_iota(jnp.int32, (K, row_cap, P), 0) \
+            .astype(jnp.float32)
+        cand_p_rows = jax.lax.broadcasted_iota(
+            jnp.int32, (rows, P), 1).astype(jnp.float32)         # lane = p
+
+        # ---- pass 1: similarity + normalization (per entry), then ONE
+        # tile-wide extraction loop over the stacked [tile_b*P, R] matrix
+        # (per-entry extraction serializes 8x more cross-lane reductions)
+        simi_l, normm_l = [], []
+        for s in range(tile_b):
+            rdes = rdes_ref[s]                                  # [D, R]
+            if rdes.dtype != ldes.dtype:
+                rdes = rdes.astype(ldes.dtype)
+            simi = jnp.maximum(
+                jnp.dot(ldes, rdes, preferred_element_type=jnp.float32),
+                0.0)                                            # [P, R]
+            pairv = lvalid * rvalid_ref[s]          # [P, 1] x [1, R]
+            simi = simi * pairv
+            rowsum = jnp.sum(simi, axis=1, keepdims=True)
+            colsum = jnp.sum(simi, axis=0, keepdims=True)
+            norm = simi / (rowsum + colsum - simi + 1e-6)
+            simi_l.append(simi)
+            normm_l.append(norm * pairv + (pairv - 1.0) * (-SENT))
+
+        simi2 = jnp.concatenate(simi_l, axis=0)                 # [tb*P, R]
+        normm2 = jnp.concatenate(normm_l, axis=0)
+        iota_rb = jax.lax.broadcasted_iota(
+            jnp.int32, (tile_b * P, R), 1).astype(jnp.float32)
+        cv, cr, csv = [], [], []
+        for _ in range(row_cap):
+            m = jnp.max(normm2, axis=1, keepdims=True)          # [tb*P, 1]
+            eq = (normm2 == m).astype(jnp.float32)
+            am = jnp.min(jnp.where(eq > 0.5, iota_rb, 1e9),
+                         axis=1, keepdims=True)                 # first tie
+            first = (iota_rb == am).astype(jnp.float32)
+            cv.append(m)
+            cr.append(am)
+            csv.append(jnp.sum(first * simi2, axis=1, keepdims=True))
+            normm2 = jnp.where(first > 0.5, SENT, normm2)
+        candv_c = jnp.concatenate(cv, axis=1)                   # [tb*P, cap]
+        candr_c = jnp.concatenate(cr, axis=1)
+        cands_c = jnp.concatenate(csv, axis=1)
+
+        # reorient to [tile_b*cap, P] (selection entries = row groups):
+        # per-entry sublane slice (free) + small 2D transpose
+        candv2 = jnp.concatenate(
+            [jnp.transpose(candv_c[s * P:(s + 1) * P])
+             for s in range(tile_b)], axis=0)                   # [rows, P]
+        candr2 = jnp.concatenate(
+            [jnp.transpose(candr_c[s * P:(s + 1) * P])
+             for s in range(tile_b)], axis=0)
+        cands2 = jnp.concatenate(
+            [jnp.transpose(cands_c[s * P:(s + 1) * P])
+             for s in range(tile_b)], axis=0)
+
+        # ---- one bisect + rank compaction for the whole tile
+        zero_col = jnp.zeros((rows, 1), jnp.float32)
+        sel2, slot2 = _select_slots_batched(
+            candv2, K, zero_col - 1.0, zero_col + 1.0000001, bisect_iters,
+            strictP, block_rowsT, ent_mat)
+
+        # (li, ri, valid) packed into one exact-f32 payload: one 3D
+        # reduction instead of three (pass 2 dominates the preamble)
+        packed2 = 1.0 + cand_p_rows * 128.0 + candr2            # [rows, P]
+
+        # ---- pass 2: slot scatter + coordinate gathers + graph filter
+        gls, grs, vals, lis, ris, vfs = [], [], [], [], [], []
+        for s in range(tile_b):
+            a = s * row_cap
+            sel = sel2[a:a + row_cap]                           # [cap, P]
+            slot = slot2[a:a + row_cap]
+            ind = (jnp.abs(slot[None] - iota_k3) < 0.5) \
+                .astype(jnp.float32) * sel[None]                # [K, cap, P]
+            val = jnp.sum(jnp.sum(ind * cands2[a:a + row_cap][None],
+                                  axis=2), axis=1)
+            code = jnp.sum(jnp.sum(ind * packed2[a:a + row_cap][None],
+                                   axis=2), axis=1)             # [K]
+            vf = (code > 0.5).astype(jnp.float32)
+            li = jnp.floor((code - vf) / 128.0)                 # 0 when vf=0
+            ri = code - vf - li * 128.0
+
+            oh_lT = (iota_pk == li[None, :]).astype(jnp.float32)
+            oh_rT = (iota_rk == ri[None, :]).astype(jnp.float32)
+            gls.append(jnp.dot(lpackT, oh_lT,
+                               preferred_element_type=jnp.float32))
+            grs.append(jnp.dot(rpackT_ref[s], oh_rT,
+                               preferred_element_type=jnp.float32))
+            vals.append(val)
+            lis.append(li)
+            ris.append(ri)
+            vfs.append(vf)
+
+        gl = jnp.stack(gls)                                     # [tb, 4, K]
+        gr = jnp.stack(grs)
+        score = _filter_body(jnp.stack(vals), gl[:, 0], gl[:, 1], gl[:, 2],
+                             gl[:, 3], gr[:, 0], gr[:, 1], gr[:, 2],
+                             gr[:, 3], jnp.stack(lis), jnp.stack(ris),
+                             jnp.stack(vfs), lookup, dist_iters, K)
+        score_ref[...] = score[:, None]
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("top_n", "row_cap", "lookup",
+                                    "dist_iters", "tile_b", "interpret"))
+def fused_minutiae_match(lat_des, lat_validf, rol_des_t, rol_validf,
+                         lpackT, rpackT, top_n: int = 120, row_cap: int = 8,
+                         lookup: bool = False, dist_iters: int = 5,
+                         tile_b: int = 8,
+                         interpret: bool = False) -> jnp.ndarray:
+    """One kernel for the whole minutiae-template match
+    (matcher.cpp:420-516): similarity GEMM -> mutual normalization ->
+    top-``top_n`` correspondences -> two-stage graph filtering. Nothing but
+    the [NT, B] scores leaves the chip (the XLA pipeline materialized the
+    [NT, B, P, R] similarity + normalization tensors in HBM and paid ~25 ms
+    per block in approx_max_k).
+
+    lat_des: [NT, P, D] latent minutiae descriptors (compute dtype; any
+        int8 dequant scale folded in by the caller).
+    lat_validf: [NT, P] f32; rol_des_t: [B, D, R] (may be int8 — cast in
+        VMEM); rol_validf: [B, R] f32.
+    lpackT: [NT, 4, P] / rpackT: [B, 4, R] coordinate planes
+        (x, y, cos ori, sin ori).
+    Returns scores [NT, B] f32.
+    """
+    NT, P, D = lat_des.shape
+    B, D2, R = rol_des_t.shape
+    assert D == D2
+    assert B % tile_b == 0, (B, tile_b)
+    K = min(top_n, P * R)
+
+    kernel = _make_minutiae_match_kernel(K, tile_b, P, R, row_cap, lookup,
+                                         dist_iters)
+    out = pl.pallas_call(
+        kernel,
+        # gallery-outer grid order: the rolled descriptor tile is fetched
+        # once per b and reused across all NT latent templates
+        grid=(B // tile_b, NT),
+        in_specs=[
+            pl.BlockSpec((None, P, D), lambda b, t: (t, 0, 0)),
+            pl.BlockSpec((None, P, 1), lambda b, t: (t, 0, 0)),
+            pl.BlockSpec((tile_b, D, R), lambda b, t: (b, 0, 0)),
+            pl.BlockSpec((tile_b, 1, R), lambda b, t: (b, 0, 0)),
+            pl.BlockSpec((None, 4, P), lambda b, t: (t, 0, 0)),
+            pl.BlockSpec((tile_b, 4, R), lambda b, t: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((None, tile_b, 1), lambda b, t: (t, b, 0)),
+        out_shape=jax.ShapeDtypeStruct((NT, B, 1), jnp.float32),
+        interpret=interpret,
+    )(lat_des, lat_validf.reshape(NT, P, 1), rol_des_t,
+      rol_validf.reshape(B, 1, R), lpackT, rpackT)
+    return out[..., 0]
+
+
+def _make_texture_match_kernel(K: int, tile_b: int, Lt: int, R: int,
+                               lookup: bool, dist_iters: int,
+                               bisect_iters: int = 42):
+    """Texture scoring tail: top-K selection over the per-latent-minutia
+    row maxima (matcher.cpp:723-749) + graph filtering, in one kernel.
+    The row maxima come from fused_adc_rowmax[_codes]; XLA's
+    top_k(448->200) + index gather cost ~14 ms per gallery block — the
+    tile-wide threshold bisect + rank compaction here is exact (up to
+    fp tie fuzz) and runs on the VPU.
+    """
+    SENT = -1e4
+
+    def kernel(best_ref, bestj_ref, lvalid_ref, lpackT_ref, rpackT_ref,
+               score_ref):
+        lvalid = lvalid_ref[...]                                # [1, Lt]
+        lpackT = lpackT_ref[...]                                # [4, Lt]
+        strict_cols = _strict_lt(Lt, Lt)
+        iota_lt = jax.lax.broadcasted_iota(jnp.int32, (1, Lt), 1) \
+            .astype(jnp.float32)
+        iota_k2 = jax.lax.broadcasted_iota(jnp.int32, (K, Lt), 0) \
+            .astype(jnp.float32)
+        iota_ltk = jax.lax.broadcasted_iota(jnp.int32, (Lt, K), 0) \
+            .astype(jnp.float32)
+        iota_rk = jax.lax.broadcasted_iota(jnp.int32, (R, K), 0) \
+            .astype(jnp.float32)
+
+        best_all = best_ref[...]                                # [tb, Lt]
+        bestj_all = bestj_ref[...]
+        # invalid latent rows -> SENT; rows whose entry had no valid
+        # rolled minutiae are already <= NEG_BIG — both sit below the
+        # bisect window's lo bound and can never be selected
+        bestm2 = jnp.where(lvalid > 0.5, best_all, SENT)        # [tb, Lt]
+        lo0 = jnp.zeros((tile_b, 1), jnp.float32) + SENT
+        hi0 = jnp.max(bestm2, axis=1, keepdims=True) + 1.0
+        sel2, slot2 = _select_slots_batched(bestm2, K, lo0, hi0,
+                                            bisect_iters, strict_cols,
+                                            None, None)
+        gls, grs, vals, lis, ris, vfs = [], [], [], [], [], []
+        for s in range(tile_b):
+            bestm = bestm2[s:s + 1]                             # [1, Lt]
+            bestj = bestj_all[s:s + 1]
+            ind = (jnp.abs(slot2[s:s + 1] - iota_k2) < 0.5) \
+                .astype(jnp.float32) * sel2[s:s + 1]            # [K, Lt]
+            val = jnp.sum(ind * bestm, axis=1)                  # [K]
+            li = jnp.sum(ind * iota_lt, axis=1)
+            ri = jnp.sum(ind * bestj, axis=1)
+            vf = jnp.sum(ind, axis=1)
+
+            oh_lT = (iota_ltk == li[None, :]).astype(jnp.float32)
+            oh_rT = (iota_rk == ri[None, :]).astype(jnp.float32)
+            gls.append(jnp.dot(lpackT, oh_lT,
+                               preferred_element_type=jnp.float32))
+            grs.append(jnp.dot(rpackT_ref[s], oh_rT,
+                               preferred_element_type=jnp.float32))
+            vals.append(val)
+            lis.append(li)
+            ris.append(ri)
+            vfs.append(vf)
+
+        gl = jnp.stack(gls)
+        gr = jnp.stack(grs)
+        score = _filter_body(jnp.stack(vals), gl[:, 0], gl[:, 1], gl[:, 2],
+                             gl[:, 3], gr[:, 0], gr[:, 1], gr[:, 2],
+                             gr[:, 3], jnp.stack(lis), jnp.stack(ris),
+                             jnp.stack(vfs), lookup, dist_iters, K)
+        score_ref[...] = score[:, None]
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("top_n", "lookup", "dist_iters",
+                                    "tile_b", "interpret"))
+def fused_texture_match(best, bestj, lat_validf, lpackT, rpackT,
+                        top_n: int = 200, lookup: bool = True,
+                        dist_iters: int = 3, tile_b: int = 8,
+                        interpret: bool = False) -> jnp.ndarray:
+    """Texture-match tail taking the ADC row maxima directly.
+
+    best / bestj: [NL, B, Lt] f32 / i32 row maxima + argmax from
+        fused_adc_rowmax[_codes] (invalid rows <= NEG_BIG).
+    lat_validf: [NL, Lt] f32 latent virtual-minutiae validity.
+    lpackT: [NL, 4, Lt] / rpackT: [B, 4, R] coordinate planes (texture
+        coords quantized (x-24)/16 when ``lookup``).
+    Returns scores [NL, B] f32.
+    """
+    NL, B, Lt = best.shape
+    R = rpackT.shape[2]
+    assert B % tile_b == 0, (B, tile_b)
+    K = min(top_n, Lt)
+
+    kernel = _make_texture_match_kernel(K, tile_b, Lt, R, lookup, dist_iters)
+    out = pl.pallas_call(
+        kernel,
+        grid=(NL, B // tile_b),
+        in_specs=[
+            pl.BlockSpec((None, tile_b, Lt), lambda n, b: (n, b, 0)),
+            pl.BlockSpec((None, tile_b, Lt), lambda n, b: (n, b, 0)),
+            pl.BlockSpec((None, 1, Lt), lambda n, b: (n, 0, 0)),
+            pl.BlockSpec((None, 4, Lt), lambda n, b: (n, 0, 0)),
+            pl.BlockSpec((tile_b, 4, R), lambda n, b: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((None, tile_b, 1), lambda n, b: (n, b, 0)),
+        out_shape=jax.ShapeDtypeStruct((NL, B, 1), jnp.float32),
+        interpret=interpret,
+    )(best, bestj.astype(jnp.float32), lat_validf.reshape(NL, 1, Lt),
+      lpackT, rpackT)
     return out[..., 0]
 
 

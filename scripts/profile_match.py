@@ -5,15 +5,13 @@ Times the full engine step and variants with stages stubbed out (the stubs
 keep upstream operands alive where noted, so XLA cannot dead-code the stage
 being measured). Subtraction gives a per-stage cost breakdown:
 
-  full                 - everything
-  nofilter_keepgather  - graph-filter kernels replaced by a cheap reduce
-                         that still consumes the gathered coordinate packs
-                         (isolates the filter-kernel cost)
-  nofilter             - filter stub that only touches `val` (the packed
-                         coordinate gathers become dead code too; the delta
-                         vs nofilter_keepgather is the HBM gather cost)
-  scoresonly           - ADC + minutiae GEMM + top-k only (correspondence
-                         extraction kept, filtering and gathers gone)
+  full      - everything
+  nominu    - fused_minutiae_match stubbed by a cheap reduce that still
+              consumes the descriptor tiles (isolates the whole minutiae
+              kernel: similarity + selection + filter)
+  notex     - fused_texture_match stubbed (isolates texture selection +
+              filter; the ADC row-max kernel stays)
+  core      - both stubbed: ADC kernel + block slicing + scan machinery
 
 Env: PROF_GALLERY (default 16384), PROF_LATENTS (8), PROF_BLOCK (512).
 Run alone — never concurrently with another TPU process.
@@ -47,14 +45,16 @@ def main():
 
     cb = read_codebook(CODEBOOK)
 
-    real_filter = pk.fused_graph_filter_packed
+    real_minu = pk.fused_minutiae_match
+    real_tex = pk.fused_texture_match
 
-    def fake_filter_keepgather(val, gl, gr, li, ri, valid, **kw):
-        keep = (jnp.sum(gl, axis=(1, 2)) + jnp.sum(gr, axis=(1, 2))) * 1e-30
-        return jnp.sum(jnp.where(valid, val, 0.0), axis=1) + keep
+    def fake_minu(lat_des, lvalid, rol_des_t, rvalid, lpackT, rpackT, **kw):
+        a = jnp.sum(lat_des.astype(jnp.float32), axis=(1, 2))
+        b = jnp.sum(rol_des_t.astype(jnp.float32), axis=(1, 2))
+        return (a[:, None] + b[None, :]) * 1e-30
 
-    def fake_filter(val, gl, gr, li, ri, valid, **kw):
-        return jnp.sum(jnp.where(valid, val, 0.0), axis=1)
+    def fake_tex(best, bestj, lvalidf, lpackT, rpackT, **kw):
+        return jnp.sum(best, axis=2) * 1e-30
 
     def make_gallery(engine):
         chunk = 4096
@@ -125,28 +125,20 @@ def main():
         del engine, gallery
         return dt
 
-    import msu_latentafis_tpu.matcher.engine as engine_mod
-
     results = {}
     results["full"] = run("full")
-    pk.fused_graph_filter_packed = fake_filter_keepgather
-    results["nofilter_keepgather"] = run("nofilter_keepgather")
-    pk.fused_graph_filter_packed = fake_filter
-    results["nofilter"] = run("nofilter")
-    # base-path breakdown (filter stays stubbed so deltas isolate each stage)
-    engine_mod._ABLATE = frozenset({"mcorr"})
-    results["no_mcorr"] = run("nofilter+no_mcorr_topk")
-    engine_mod._ABLATE = frozenset({"mcorr", "textopk"})
-    results["no_both"] = run("nofilter+no_topk_at_all")
-    engine_mod._ABLATE = frozenset()
-    pk.fused_graph_filter_packed = real_filter
+    pk.fused_minutiae_match = fake_minu
+    results["nominu"] = run("nominu")
+    pk.fused_texture_match = fake_tex
+    results["core"] = run("core")
+    pk.fused_minutiae_match = real_minu
+    results["notex"] = run("notex")
+    pk.fused_texture_match = real_tex
 
     print(json.dumps({
-        "filter_kernel_s": round(results["full"] - results["nofilter_keepgather"], 4),
-        "gather_s": round(results["nofilter_keepgather"] - results["nofilter"], 4),
-        "mcorr_topk_s": round(results["nofilter"] - results["no_mcorr"], 4),
-        "tex_topk_s": round(results["no_mcorr"] - results["no_both"], 4),
-        "core_s": round(results["no_both"], 4),
+        "minu_kernel_s": round(results["full"] - results["nominu"], 4),
+        "tex_kernel_s": round(results["full"] - results["notex"], 4),
+        "core_s": round(results["core"], 4),
     }))
 
 

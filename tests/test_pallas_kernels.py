@@ -149,6 +149,112 @@ def test_fused_graph_filter_infuse_matches_packed(rng, lookup, iters,
                                rtol=1e-5, atol=1e-5)
 
 
+def test_fused_minutiae_match_matches_composed(rng):
+    """The end-to-end minutiae kernel (similarity + mutual norm + top-K
+    threshold selection + filter) must reproduce the composed XLA path
+    (minutiae_similarity -> exact top_k correspondences -> filter) whenever
+    no latent row holds more than row_cap of the true top-K."""
+    from msu_latentafis_tpu.matcher.minutiae_match import (
+        minutiae_correspondences, minutiae_similarity)
+    NT, B, P, R, D, K = 2, 4, 16, 24, 32, 20
+    lat_des = rng.standard_normal((NT, P, D)).astype(np.float32)
+    lat_des /= np.linalg.norm(lat_des, axis=-1, keepdims=True)
+    rol_des = rng.standard_normal((B, R, D)).astype(np.float32)
+    rol_des /= np.linalg.norm(rol_des, axis=-1, keepdims=True)
+    rol_des_t = jnp.asarray(np.swapaxes(rol_des, 1, 2))
+    lat_valid = rng.random((NT, P)) > 0.1
+    rol_valid = rng.random((B, R)) > 0.1
+    lx = rng.integers(0, 480, (NT, P)).astype(np.float32)
+    ly = rng.integers(0, 480, (NT, P)).astype(np.float32)
+    lo = rng.uniform(-np.pi, np.pi, (NT, P)).astype(np.float32)
+    rx = rng.integers(0, 480, (B, R)).astype(np.float32)
+    ry = rng.integers(0, 480, (B, R)).astype(np.float32)
+    ro = rng.uniform(-np.pi, np.pi, (B, R)).astype(np.float32)
+    lpackT = jnp.asarray(np.stack([lx, ly, np.cos(lo), np.sin(lo)], axis=1))
+    rpackT = jnp.asarray(np.stack([rx, ry, np.cos(ro), np.sin(ro)], axis=1))
+
+    got = pk.fused_minutiae_match(
+        jnp.asarray(lat_des), jnp.asarray(lat_valid, jnp.float32),
+        rol_des_t, jnp.asarray(rol_valid, jnp.float32), lpackT, rpackT,
+        top_n=K, row_cap=R, tile_b=2, interpret=True)
+
+    simi = minutiae_similarity(
+        jnp.asarray(lat_des)[:, None], jnp.asarray(lat_valid)[:, None],
+        rol_des_t[None], jnp.asarray(rol_valid)[None])        # [NT,B,P,R]
+    corr = jax.vmap(jax.vmap(
+        lambda s, lv, rv: minutiae_correspondences(s, lv, rv, top_n=K),
+        in_axes=(0, None, 0)), in_axes=(0, 0, None))(
+        simi, jnp.asarray(lat_valid), jnp.asarray(rol_valid))
+    val, li, ri, valid = corr
+    want = pk.fused_graph_filter_infuse(
+        val, li, ri, valid, lpackT, rpackT, lookup=False, dist_iters=5,
+        tile_b=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_fused_minutiae_match_row_cap_recall(rng):
+    """row_cap=8 must reproduce the uncapped selection on descriptor-like
+    data (mutual normalization keeps per-row membership in the top-K
+    small); validates the approximation knob actually used on TPU."""
+    NT, B, P, R, D, K = 1, 2, 32, 48, 64, 60
+    lat_des = rng.standard_normal((NT, P, D)).astype(np.float32)
+    lat_des /= np.linalg.norm(lat_des, axis=-1, keepdims=True)
+    rol_des = rng.standard_normal((B, R, D)).astype(np.float32)
+    rol_des /= np.linalg.norm(rol_des, axis=-1, keepdims=True)
+    rol_des_t = jnp.asarray(np.swapaxes(rol_des, 1, 2))
+    ones_l = jnp.ones((NT, P), jnp.float32)
+    ones_r = jnp.ones((B, R), jnp.float32)
+    lpackT = jnp.asarray(
+        rng.uniform(0, 480, (NT, 4, P)).astype(np.float32))
+    rpackT = jnp.asarray(
+        rng.uniform(0, 480, (B, 4, R)).astype(np.float32))
+    capped = pk.fused_minutiae_match(
+        jnp.asarray(lat_des), ones_l, rol_des_t, ones_r, lpackT, rpackT,
+        top_n=K, row_cap=8, tile_b=2, interpret=True)
+    full = pk.fused_minutiae_match(
+        jnp.asarray(lat_des), ones_l, rol_des_t, ones_r, lpackT, rpackT,
+        top_n=K, row_cap=R, tile_b=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(capped), np.asarray(full),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_fused_texture_match_matches_composed(rng):
+    """Threshold top-K + filter over ADC row maxima == XLA top_k +
+    take_along_axis + packed filter kernel."""
+    NL, B, Lt, R, K = 2, 4, 48, 32, 24
+    best = rng.uniform(-3, 6, (NL, B, Lt)).astype(np.float32)
+    bestj = rng.integers(0, R, (NL, B, Lt)).astype(np.int32)
+    lat_valid = rng.random((NL, Lt)) > 0.1
+    # some rows with no valid rolled minutiae at all
+    best[rng.random((NL, B, Lt)) < 0.05] = pk.NEG_BIG
+    lx = rng.integers(0, 30, (NL, Lt)).astype(np.float32)
+    ly = rng.integers(0, 30, (NL, Lt)).astype(np.float32)
+    lo = rng.uniform(-np.pi, np.pi, (NL, Lt)).astype(np.float32)
+    rx = rng.integers(0, 30, (B, R)).astype(np.float32)
+    ry = rng.integers(0, 30, (B, R)).astype(np.float32)
+    ro = rng.uniform(-np.pi, np.pi, (B, R)).astype(np.float32)
+    lpackT = jnp.asarray(np.stack([lx, ly, np.cos(lo), np.sin(lo)], axis=1))
+    rpackT = jnp.asarray(np.stack([rx, ry, np.cos(ro), np.sin(ro)], axis=1))
+
+    got = pk.fused_texture_match(
+        jnp.asarray(best), jnp.asarray(bestj),
+        jnp.asarray(lat_valid, jnp.float32), lpackT, rpackT,
+        top_n=K, lookup=True, dist_iters=3, tile_b=2, interpret=True)
+
+    bestm = jnp.where(jnp.asarray(lat_valid)[:, None, :],
+                      jnp.asarray(best), pk.NEG_BIG)
+    topv, li = jax.lax.top_k(bestm, K)
+    ri = jnp.take_along_axis(jnp.asarray(bestj), li, axis=2)
+    tvalid = topv > pk.NEG_BIG / 2
+    tval = jnp.where(tvalid, topv, 0.0)
+    want = pk.fused_graph_filter_infuse(
+        tval, li, ri, tvalid, lpackT, rpackT, lookup=True, dist_iters=3,
+        tile_b=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_minutiae_correspondence_indices_matches_full(rng):
     from msu_latentafis_tpu.matcher.minutiae_match import (
         minutiae_correspondence_indices, minutiae_correspondences)
