@@ -617,7 +617,7 @@ def _make_minutiae_match_kernel(K: int, tile_b: int, P: int, R: int,
 def fused_minutiae_match(lat_des, lat_validf, rol_des_t, rol_validf,
                          lpackT, rpackT, top_n: int = 120, row_cap: int = 8,
                          lookup: bool = False, dist_iters: int = 5,
-                         tile_b: int = 8,
+                         tile_b: int = 0,
                          interpret: bool = False) -> jnp.ndarray:
     """One kernel for the whole minutiae-template match
     (matcher.cpp:420-516): similarity GEMM -> mutual normalization ->
@@ -637,8 +637,15 @@ def fused_minutiae_match(lat_des, lat_validf, rol_des_t, rol_validf,
     NT, P, D = lat_des.shape
     B, D2, R = rol_des_t.shape
     assert D == D2
-    assert B % tile_b == 0, (B, tile_b)
     K = min(top_n, P * R)
+    if tile_b == 0:
+        # bigger tiles amortize the serial bisect + grid-step overhead;
+        # the [tile_b, K, K] filter arrays bound VMEM (16 x 120 x 120 f32
+        # x ~10 live ~= 9 MB)
+        tile_b = 16 if K <= 128 and B % 16 == 0 else 8
+    while B % tile_b:                       # tiny galleries: B < tile_b
+        tile_b //= 2
+    assert tile_b >= 1, (B,)
 
     kernel = _make_minutiae_match_kernel(K, tile_b, P, R, row_cap, lookup,
                                          dist_iters)
@@ -751,7 +758,9 @@ def fused_texture_match(best, bestj, lat_validf, lpackT, rpackT,
     """
     NL, B, Lt = best.shape
     R = rpackT.shape[2]
-    assert B % tile_b == 0, (B, tile_b)
+    while B % tile_b:                       # tiny galleries: B < tile_b
+        tile_b //= 2
+    assert tile_b >= 1, (B,)
     K = min(top_n, Lt)
 
     kernel = _make_texture_match_kernel(K, tile_b, Lt, R, lookup, dist_iters)

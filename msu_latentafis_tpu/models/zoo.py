@@ -338,3 +338,24 @@ class DropoutMLP(nn.Module):
             x = nn.relu(x)
             x = nn.Dropout(self.rate, deterministic=not train)(x)
         return nn.Dense(self.num_outputs, dtype=self.dtype)(x)
+
+
+class PlainNet(nn.Module):
+    """LeNet-style baseline classifier (models/net.py equivalent):
+    conv5x5(6) -> pool -> conv5x5(16) -> pool -> fc 120/84/num_classes."""
+
+    num_classes: int = 10
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.relu(nn.Conv(6, (5, 5), padding="VALID",
+                            dtype=self.dtype)(x))
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = nn.relu(nn.Conv(16, (5, 5), padding="VALID",
+                            dtype=self.dtype)(x))
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = x.reshape(x.shape[0], -1)
+        x = nn.relu(nn.Dense(120, dtype=self.dtype)(x))
+        x = nn.relu(nn.Dense(84, dtype=self.dtype)(x))
+        return nn.Dense(self.num_classes, dtype=self.dtype)(x)

@@ -109,6 +109,62 @@ class FeatPairDataset:
         return (self.features[idx_a], self.features[idx_b], same)
 
 
+class ClassPairsDataset:
+    """Per-class ``.npy`` feature loader — datasets/classload_pairs.py.
+
+    One item per CLASS: a [batch_size_per_class, ...] stack drawn from
+    that class's files via cycling shuffled iterators (the reference's
+    ``Iterator`` objects), so every file is visited before repeats. The
+    reference draws index 0 from a separate "neg" iterator stream and the
+    rest from the "pos" stream; both cycles are reproduced."""
+
+    def __init__(self, root: str, batch_size_per_class: int = 2,
+                 if_norm: bool = False, seed: int = 0):
+        self.batch = int(batch_size_per_class)
+        self.if_norm = if_norm
+        self._rng = np.random.default_rng(seed)
+        self.by_class = {}
+        for cls in sorted(os.listdir(root)):
+            d = os.path.join(root, cls)
+            if not os.path.isdir(d):
+                continue
+            files = sorted(os.path.join(d, f) for f in os.listdir(d)
+                           if f.endswith(".npy"))
+            if files:
+                self.by_class[cls] = files
+        if not self.by_class:
+            raise RuntimeError(f"no per-class .npy files under {root}")
+        self.classes = list(self.by_class)
+        self._pos = {c: self._fresh(c) for c in self.classes}
+        self._neg = {c: self._fresh(c) for c in self.classes}
+
+    def _fresh(self, cls):
+        return iter([])
+
+    def _next(self, stream, cls):
+        it = stream[cls]
+        nxt = next(it, None)
+        if nxt is None:
+            order = self._rng.permutation(len(self.by_class[cls]))
+            stream[cls] = it = iter(order.tolist())
+            nxt = next(it)
+        return self.by_class[cls][nxt]
+
+    def __len__(self):
+        return len(self.classes)
+
+    def __getitem__(self, index):
+        cls = self.classes[index]
+        out = []
+        for i in range(self.batch):
+            path = self._next(self._neg if i == 0 else self._pos, cls)
+            feat = np.load(path).astype(np.float32)
+            if self.if_norm:
+                feat = feat / (np.linalg.norm(feat) + 1e-8)
+            out.append(feat)
+        return np.stack(out), index
+
+
 class TripletDataset:
     """(anchor, positive, negative) sampling by class — datasets/triplet.py
     and classload_pairs.py."""

@@ -79,3 +79,54 @@ def angular_margin_softmax(emb: jnp.ndarray, weights: jnp.ndarray,
 
 def classification_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     return optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+
+
+def regression_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """MSE regression head (losses/regression.py)."""
+    return jnp.mean((pred - target) ** 2)
+
+
+def l2norm_pair_loss(x1: jnp.ndarray, x2: jnp.ndarray, y1: jnp.ndarray,
+                     y2: jnp.ndarray) -> jnp.ndarray:
+    """Distance-preservation loss for descriptor compression: the norm of
+    the per-pair gap between input-space and output-space L2 distances,
+    / batch (losses/l2norm.py L2NormLoss — the DR/CompNet training
+    criterion pairing 192-d inputs with 96-d outputs)."""
+    dist_in = jnp.linalg.norm(x1 - x2, axis=1)
+    dist_out = jnp.linalg.norm(y1 - y2, axis=1)
+    return jnp.linalg.norm(dist_in - dist_out) / x1.shape[0]
+
+
+def batch_hard_pair_l2norm(x1: jnp.ndarray, x2: jnp.ndarray,
+                           y1: jnp.ndarray, y2: jnp.ndarray,
+                           metric: str = "cosine",
+                           threshold: float = 0.0) -> jnp.ndarray:
+    """Hard-pair variant (losses/l2norm.py BatchHardPairL2NormLoss): only
+    pairs whose |in-distance - out-distance| exceeds ``threshold`` count.
+    The reference's boolean indexing becomes static-shape masking."""
+    if metric == "cosine":
+        def cos(a, b):
+            na = jnp.linalg.norm(a, axis=1) + 1e-8
+            nb = jnp.linalg.norm(b, axis=1) + 1e-8
+            return jnp.sum(a * b, axis=1) / (na * nb)
+        dist_in, dist_out = cos(x1, x2), cos(y1, y2)
+    elif metric == "euclidean":
+        dist_in = jnp.linalg.norm(x1 - x2, axis=1)
+        dist_out = jnp.linalg.norm(y1 - y2, axis=1)
+    else:
+        raise ValueError(f"unsupported metric {metric!r}")
+    diff = dist_in - dist_out
+    hard = (jnp.abs(diff) - threshold) > 0.0
+    n = jnp.sum(hard)
+    norm = jnp.sqrt(jnp.sum(jnp.where(hard, diff, 0.0) ** 2))
+    return jnp.where(n > 0, norm / jnp.maximum(n, 1), 0.0)
+
+
+def uncertainty_loss(mu: jnp.ndarray, log_var: jnp.ndarray,
+                     target: jnp.ndarray, wsigma: float = 0.0) -> jnp.ndarray:
+    """Heteroscedastic regression (losses/uncertainty.py): squared error
+    scaled by exp(-log sigma^2) + log sigma^2 penalty + wsigma * ||sigma^2||
+    regularizer on the predicted covariance."""
+    sq = (target - mu) ** 2
+    loss = jnp.mean(sq * jnp.exp(-log_var)) + jnp.mean(log_var)
+    return loss + wsigma * jnp.linalg.norm(jnp.exp(log_var))
