@@ -152,8 +152,10 @@ def get_quality_map_dict(img, dict_all, ori_all, spacing_all,
 def _stft_direction_tables(patch_size: int, nrof_dirs: int = 16):
     half = patch_size // 2
     x, y = np.meshgrid(np.arange(-half, half), np.arange(-half, half))
-    x = x.astype(np.float32)
-    y = y.astype(np.float32)
+    # f64 tables: direction binning at exact pi/nd boundaries must not
+    # depend on f32 arctan2 rounding
+    x = x.astype(np.float64)
+    y = y.astype(np.float64)
     r = np.sqrt(x * x + y * y) + 1e-4
     f_low = patch_size / 18.0
     f_high = patch_size / 3.0
@@ -169,8 +171,19 @@ def _stft_direction_tables(patch_size: int, nrof_dirs: int = 16):
     return band.astype(np.float32), onehot, weight, r.astype(np.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("patch_size", "nrof_dirs"))
-def _stft_maps_core(img, patch_size: int = 64, nrof_dirs: int = 16):
+def _stft_histograms(img, patch_size: int, nrof_dirs: int):
+    """Directional-energy analysis shared by the ridge-flow variants.
+
+    Returns (sm, is_peak, fre_by_dir, bh, bw): the smoothed/normalized
+    histogram [n, nd], its circular peak mask, and the per-direction ridge
+    frequency — all with the reference's exact arithmetic
+    (get_maps.py:33-99), including two quirks of ``local_STFT.analysis``:
+    the [1,4,1]/6 smoothing is IN-PLACE (``smoothed_dir_norm = dir_norm``
+    aliases, so each step reads the already-smoothed left neighbor — a
+    recursive filter, not a convolution), and the frequency normalizer
+    ``dir_norm[i]`` is the same aliased array, i.e. the smoothed+normalized
+    value, not the raw bin energy.
+    """
     band, onehot, weight, r = _stft_direction_tables(patch_size, nrof_dirs)
     band, onehot, weight, r = map(jnp.asarray, (band, onehot, weight, r))
 
@@ -185,28 +198,110 @@ def _stft_maps_core(img, patch_size: int = 64, nrof_dirs: int = 16):
     energy = energy / (jnp.sum(energy, axis=(1, 2), keepdims=True) + 1e-5)
     # directional energy histogram: [n, nd]
     dir_norm = jnp.einsum("npq,dpq->nd", energy, onehot)
-    # circular [1,4,1]/6 smoothing
-    left = jnp.roll(dir_norm, 1, axis=1)
-    right = jnp.roll(dir_norm, -1, axis=1)
-    sm = (left + 4.0 * dir_norm + right) / 6.0
+
+    # sequential in-place circular smoothing (get_maps.py:52-58): carry the
+    # smoothed left neighbor; the right neighbor is always the raw value
+    d_next = jnp.roll(dir_norm, -1, axis=1)                  # raw right
+    prev0 = dir_norm[:, nrof_dirs - 1]                       # raw wrap pad
+
+    def smooth_step(prev, di_dn):
+        di, dn = di_dn
+        s = (prev + 4.0 * di + dn) / 6.0
+        return s, s
+
+    _, sm_t = jax.lax.scan(smooth_step, prev0,
+                           (dir_norm.T, d_next.T))           # [nd, n]
+    sm = sm_t.T
     sm = sm / (jnp.sum(sm, axis=1, keepdims=True) + 1e-5)
 
     sml = jnp.roll(sm, 1, axis=1)
     smr = jnp.roll(sm, -1, axis=1)
     is_peak = (sm > sml) & (sm > smr)
+
+    wenergy = jnp.einsum("npq,dpq->nd", energy * r[None], onehot)
+    # aliased normalizer: the reference divides by smoothed_dir_norm
+    fre_by_dir = 1.0 / (wenergy / (sm + 1e-12) + 1e-5)
+    return sm, is_peak, fre_by_dir, bh, bw
+
+
+@functools.partial(jax.jit, static_argnames=("patch_size", "nrof_dirs"))
+def _stft_maps_core(img, patch_size: int = 64, nrof_dirs: int = 16):
+    sm, is_peak, fre_by_dir, bh, bw = _stft_histograms(img, patch_size,
+                                                       nrof_dirs)
+    n = sm.shape[0]
     conf = jnp.where(is_peak, sm, -jnp.inf)
     best = jnp.argmax(conf, axis=1)
 
     ori_interval = math.pi / nrof_dirs
     ori = best * ori_interval + ori_interval / 2 + math.pi / 2
-
-    wenergy = jnp.einsum("npq,dpq->nd", energy * r[None], onehot)
-    fre_raw = wenergy[jnp.arange(n), best] / (dir_norm[jnp.arange(n), best] + 1e-9)
-    fre = 1.0 / (fre_raw + 1e-5)
+    fre = fre_by_dir[jnp.arange(n), best]
     has_peak = jnp.any(is_peak, axis=1)
     ori = jnp.where(has_peak, ori, -10.0)
     fre = jnp.where(has_peak, fre, -10.0)
     return ori.reshape(bh, bw), fre.reshape(bh, bw)
+
+
+@functools.partial(jax.jit, static_argnames=("patch_size", "nrof_dirs"))
+def _stft_top2_core(img, patch_size: int = 64, nrof_dirs: int = 16):
+    """Top-2 candidate orientations per block with the reference's
+    candidate-pruning rule (get_maps.py:77-99): all histogram peaks sorted
+    by confidence; if the strongest beats the runner-up by more than 2x
+    only it survives, otherwise the top N=2 are kept."""
+    sm, is_peak, _, bh, bw = _stft_histograms(img, patch_size, nrof_dirs)
+    conf = jnp.where(is_peak, sm, -jnp.inf)
+    i1 = jnp.argmax(conf, axis=1)
+    c1 = jnp.max(conf, axis=1)
+    conf2 = conf.at[jnp.arange(conf.shape[0]), i1].set(-jnp.inf)
+    i2 = jnp.argmax(conf2, axis=1)
+    c2 = jnp.max(conf2, axis=1)
+
+    valid1 = jnp.any(is_peak, axis=1)
+    valid2 = valid1 & jnp.isfinite(c2) & ~(c1 / jnp.maximum(c2, 1e-30) > 2.0)
+
+    ori_interval = math.pi / nrof_dirs
+    ori1 = i1 * ori_interval + ori_interval / 2 + math.pi / 2
+    ori2 = i2 * ori_interval + ori_interval / 2 + math.pi / 2
+    stackb = lambda a: a.reshape(bh, bw)
+    return (stackb(ori1), stackb(ori2), stackb(valid1), stackb(valid2))
+
+
+@functools.partial(jax.jit, static_argnames=("patch_size", "nrof_dirs"))
+def _ridge_flow_optimal_core(img, patch_size: int = 64, nrof_dirs: int = 16):
+    ori1, ori2, valid1, valid2 = _stft_top2_core(img, patch_size, nrof_dirs)
+    bh, bw = ori1.shape
+    cand_ori = jnp.stack([ori1, ori2], axis=-1)              # [bh, bw, 2]
+    cand_valid = jnp.stack([valid1, valid2], axis=-1)
+    c2t = jnp.where(cand_valid, jnp.cos(2 * cand_ori), 0.0)
+    s2t = jnp.where(cand_valid, jnp.sin(2 * cand_ori), 0.0)
+
+    pad = 2
+    reliability = jnp.zeros((bh, bw, 2))
+    for di in range(-pad, pad + 1):
+        for dj in range(-pad, pad + 1):
+            if di == 0 and dj == 0:
+                continue
+            nb_c = jnp.roll(c2t, (-di, -dj), axis=(0, 1))
+            nb_s = jnp.roll(s2t, (-di, -dj), axis=(0, 1))
+            nb_v = jnp.roll(cand_valid, (-di, -dj), axis=(0, 1))
+            # simi = (cos(2(ori_k - ori_nb)) + 1) / 2, max over the
+            # neighbor's valid candidates; neighbors with none contribute 0
+            simi = (c2t[..., :, None] * nb_c[..., None, :]
+                    + s2t[..., :, None] * nb_s[..., None, :] + 1.0) / 2.0
+            simi = jnp.where(nb_v[..., None, :], simi, -jnp.inf)
+            best = jnp.max(simi, axis=-1)                    # [bh, bw, 2]
+            reliability = reliability + jnp.where(
+                jnp.any(nb_v, axis=-1)[..., None], best, 0.0)
+
+    reliability = jnp.where(cand_valid, reliability, -jnp.inf)
+    k = jnp.argmax(reliability, axis=-1)
+    sel_ori = jnp.take_along_axis(cand_ori, k[..., None], axis=-1)[..., 0]
+    dir_map = sel_ori + math.pi * 0.5
+
+    ii = jnp.arange(bh)[:, None]
+    jj = jnp.arange(bw)[None, :]
+    interior = ((ii >= pad) & (ii < bh - pad)
+                & (jj >= pad) & (jj < bw - pad))
+    return jnp.where(interior & valid1, dir_map, -10.0)
 
 
 def get_maps_stft(img, patch_size: int = 64, block_size: int = BLOCK):
@@ -218,6 +313,108 @@ def get_maps_stft(img, patch_size: int = 64, block_size: int = BLOCK):
     dir_map, fre_map = _stft_maps_core(padded, patch_size=patch_size)
     dir_map = smooth_dir_map(dir_map, sigma=2.0)
     return dir_map, fre_map
+
+
+def get_ridge_flow_optimal_n(img, patch_size: int = 64,
+                             block_size: int = BLOCK):
+    """Neighborhood-consistent orientation map (get_maps.py:200-234).
+
+    Instead of taking each block's single strongest directional peak
+    (``get_ridge_flow_top``, what get_maps_stft uses), every block keeps up
+    to two candidate orientations and the one most consistent with the 5x5
+    block neighborhood wins: reliability(k) = sum over the 24 neighbors of
+    max_m (cos(2(ori_k - ori_nb_m)) + 1)/2. Border blocks (within 2) and
+    blocks without any histogram peak return -10. The selected orientation
+    carries the reference's extra +pi/2 offset on top of the +pi/2 already
+    applied by the histogram analysis."""
+    img = jnp.asarray(img, jnp.float32)
+    ovp = (patch_size - block_size) // 2
+    padded = jnp.pad(img, ((ovp, ovp), (ovp, ovp)), mode="symmetric")
+    return _ridge_flow_optimal_core(padded, patch_size=patch_size)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _quality_map_coarse_core(img, dict_all, t):
+    h, w = img.shape
+    blkH, blkW = h // BLOCK, w // BLOCK
+    pad = (DICT_PATCH - BLOCK) // 2
+    padded = jnp.pad(img, ((pad, pad), (pad, pad)), mode="symmetric")
+
+    p2 = DICT_PATCH // 2
+    x, y = np.meshgrid(np.arange(-p2, p2), np.arange(-p2, p2))
+    window = jnp.asarray(
+        np.exp(-(x * x + y * y) / (DICT_PATCH * DICT_PATCH / 3.0)),
+        jnp.float32).reshape(-1)
+
+    r = 1
+    patches, bh, bw = extract_blocks(padded, patch=DICT_PATCH, stride=BLOCK)
+    patches = patches.reshape(bh, bw, -1)[r:blkH - r, r:blkW - r]
+    flat = patches.reshape(-1, DICT_PATCH * DICT_PATCH)
+    flat = flat - jnp.median(flat, axis=1, keepdims=True)
+    flat = flat / (jnp.linalg.norm(flat, axis=1, keepdims=True) + 500.0)
+    flat = jnp.where(jnp.abs(flat) > t, 0.0, flat)
+    flat = flat * window[None, :]
+
+    simi = jnp.abs(flat @ dict_all)
+    best = jnp.argmax(simi, axis=1)
+    qual = jnp.max(simi, axis=1)
+    return best, qual, blkH, blkW
+
+
+def get_quality_map_dict_coarse(img, dict_all, ori, spacing, t: float = 0.5,
+                                replicate_border_bug: bool = True):
+    """Coarse dictionary quality/ori/freq maps (get_maps.py:518-584).
+
+    Differs from get_quality_map_dict: median (not mean) subtraction,
+    extreme values zeroed at |v| > t = 0.5, a Gaussian window applied after
+    normalization, and sigma-2 quality smoothing. The reference reads the
+    winning atom's orientation from per-pixel doubled-angle component rows
+    of 2-D ``ori``/``spacing`` arrays (rows 32 and 96 = pixels (1,0)/(3,0)
+    of the flattened 32x32 atom) — a dictionary layout no constructor in
+    its repo produces, so the function is unreachable there as shipped.
+    Faithful indexing is used when 2-D arrays are passed; the per-atom 1-D
+    form of construct_dictionary is accepted as the usable form.
+    """
+    img = jnp.asarray(img, jnp.float32)
+    dict_all = jnp.asarray(dict_all)
+    best, qual, blkH, blkW = _quality_map_coarse_core(img, dict_all, t)
+    best_np = np.asarray(best)
+
+    ori = np.asarray(ori)
+    spacing = np.asarray(spacing)
+    if ori.ndim == 2:
+        dir_flat = -np.arctan2(ori[DICT_PATCH + 2 * DICT_PATCH,
+                                   best_np],
+                               ori[DICT_PATCH, best_np]) / 2.0
+    else:
+        dir_flat = ori[best_np]
+    fre_flat = spacing[DICT_PATCH, best_np] if spacing.ndim == 2 \
+        else spacing[best_np]
+
+    r = 1
+    inner = (blkH - 2 * r, blkW - 2 * r)
+    quality = jnp.zeros((blkH, blkW)).at[r:-r, r:-r].set(
+        jnp.asarray(qual).reshape(inner))
+    dirm = jnp.zeros((blkH, blkW)).at[r:-r, r:-r].set(
+        jnp.asarray(dir_flat, jnp.float32).reshape(inner))
+    frem = jnp.zeros((blkH, blkW)).at[r:-r, r:-r].set(
+        jnp.asarray(fre_flat, jnp.float32).reshape(inner))
+
+    # same border replication (and same freq-into-direction copy at the
+    # bottom/right borders) as the fine variant — get_maps.py:569-577
+    frem = frem.at[0].set(frem[r]).at[-1].set(frem[-r - 1])
+    dirm = dirm.at[0].set(dirm[r])
+    dirm = dirm.at[-1].set(frem[-r - 1] if replicate_border_bug
+                           else dirm[-r - 1])
+    frem = frem.at[:, 0].set(frem[:, r]).at[:, -1].set(frem[:, -r - 1])
+    dirm = dirm.at[:, 0].set(dirm[:, r])
+    dirm = dirm.at[:, -1].set(frem[:, -r - 1] if replicate_border_bug
+                              else dirm[:, -r - 1])
+
+    quality = gaussian_blur_cv2(quality, ksize=5, sigma=2.0)
+    dirm = smooth_dir_map(dirm, sigma=1.5)
+    frem = gaussian_blur_cv2(frem, ksize=3, sigma=1.0)
+    return quality, dirm, frem
 
 
 # ---------------------------------------------------------------------------

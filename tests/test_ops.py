@@ -209,3 +209,153 @@ def test_evaluate_metrics(rng):
     rel = np.zeros((20, 50), bool)
     rel[np.arange(20), mates] = True
     assert mean_average_precision(sm, rel) == 1.0
+
+
+# ---------------------------------------------------------------------------
+# STFT ridge-flow maps (get_maps.py:13-234, :587-643)
+# ---------------------------------------------------------------------------
+
+def np_stft_analysis(img, patch_size=64, block_size=16, nrof_dirs=16):
+    """NumPy transcription of local_STFT.analysis over every block
+    (get_maps.py:33-99 + the get_maps_STFT driver), returning per-block
+    candidate (ori, fre, confidence) lists."""
+    ovp = (patch_size - block_size) // 2
+    img = np.pad(img.astype(np.float64), ovp, mode="symmetric")
+    h, w = img.shape
+    blkH = (h - patch_size) // block_size + 1
+    blkW = (w - patch_size) // block_size + 1
+
+    half = patch_size // 2
+    x, y = np.meshgrid(np.arange(-half, half), np.arange(-half, half))
+    r = np.sqrt(x * x + y * y) + 1e-4
+    flow, fhigh = patch_size / 18.0, patch_size / 3.0
+    band = (1.0 / (1 + (r / fhigh) ** 4)) * (1.0 / (1 + (flow / r) ** 4))
+    d = np.arctan2(y, x)
+    d[d < 0] += math.pi
+    dir_ind = np.floor(d / (math.pi / nrof_dirs)).astype(int)
+    dir_ind[dir_ind == nrof_dirs] = 0
+    sigma = patch_size / 3.0
+    weight = np.exp(-(x * x + y * y) / (sigma * sigma))
+
+    out = {}
+    for bi in range(blkH):
+        for bj in range(blkW):
+            patch = img[bi * block_size:bi * block_size + patch_size,
+                        bj * block_size:bj * block_size + patch_size].copy()
+            p = patch * weight
+            p = p - p.mean()
+            p = p / (np.linalg.norm(p) + 1e-6)
+            f = np.fft.fftshift(np.fft.fft2(p)) * band
+            energy = np.abs(f)
+            energy = energy / (np.sum(energy) + 1e-5)
+
+            dir_norm = np.zeros(nrof_dirs + 2)
+            for i in range(nrof_dirs):
+                dir_norm[i + 1] = energy[dir_ind == i].sum()
+            dir_norm[0] = dir_norm[nrof_dirs]
+            dir_norm[nrof_dirs + 1] = dir_norm[1]
+            sm = dir_norm                  # ALIAS — in-place recursion
+            for i in range(1, nrof_dirs + 1):
+                sm[i] = (dir_norm[i - 1] + dir_norm[i] * 4 + dir_norm[i + 1]) / 6
+            sm[0] = sm[nrof_dirs]
+            sm[nrof_dirs + 1] = sm[1]
+            sm = sm / (np.sum(sm[1:nrof_dirs + 1]) + 1e-5)
+
+            ori_interval = math.pi / nrof_dirs
+            wenergy = energy * r
+            cands = []
+            for i in range(1, nrof_dirs + 1):
+                if sm[i] > sm[i - 1] and sm[i] > sm[i + 1]:
+                    ori = (i - 1) * ori_interval + ori_interval / 2 + math.pi / 2
+                    fre = 1.0 / (wenergy[dir_ind == i - 1].sum() / sm[i] + 1e-5)
+                    cands.append((sm[i], ori, fre))
+            cands.sort(key=lambda t: -t[0])
+            if len(cands) >= 2 and cands[0][0] / cands[1][0] > 2.0:
+                cands = cands[:1]
+            else:
+                cands = cands[:2]
+            out[(bi, bj)] = cands
+    return out, blkH, blkW
+
+
+def test_stft_maps_matches_spec(ridge_img):
+    from msu_latentafis_tpu.ops.maps import _stft_maps_core
+    import jax.numpy as jnp
+    cands, blkH, blkW = np_stft_analysis(ridge_img)
+    ovp = (64 - 16) // 2
+    padded = jnp.pad(jnp.asarray(ridge_img, jnp.float32),
+                     ((ovp, ovp), (ovp, ovp)), mode="symmetric")
+    ori, fre = map(np.asarray, _stft_maps_core(padded))
+    assert ori.shape == (blkH, blkW)
+    agree = 0
+    checked = 0
+    for (bi, bj), c in cands.items():
+        if not c:
+            assert ori[bi, bj] == -10.0
+            continue
+        checked += 1
+        # ties between nearly-equal f32/f64 histogram peaks may pick a
+        # different direction bin; require near-universal agreement
+        if abs(ori[bi, bj] - c[0][1]) < 1e-4:
+            agree += 1
+            np.testing.assert_allclose(fre[bi, bj], c[0][2], rtol=1e-2)
+    assert checked > 20 and agree / checked > 0.9
+
+
+def test_ridge_flow_optimal_matches_spec(ridge_img):
+    from msu_latentafis_tpu.ops.maps import get_ridge_flow_optimal_n
+    cands, blkH, blkW = np_stft_analysis(ridge_img)
+
+    # NumPy mirror of get_ridge_flow_optimal_N (get_maps.py:200-234)
+    want = np.zeros((blkH, blkW)) - 10
+    pad = 2
+    for bi in range(pad, blkH - pad):
+        for bj in range(pad, blkW - pad):
+            c = cands[(bi, bj)]
+            if not c:
+                continue
+            rel = np.zeros(len(c))
+            for k, (_, ori_k, _) in enumerate(c):
+                for di in range(-pad, pad + 1):
+                    for dj in range(-pad, pad + 1):
+                        if di == 0 and dj == 0:
+                            continue
+                        nb = cands[(bi + di, bj + dj)]
+                        if not nb:
+                            continue
+                        simi = [(math.cos((ori_k - o) * 2) + 1) / 2
+                                for (_, o, _) in nb]
+                        rel[k] += max(simi)
+            want[bi, bj] = c[int(np.argmax(rel))][1] + math.pi * 0.5
+
+    got = np.asarray(get_ridge_flow_optimal_n(ridge_img))
+    assert got.shape == want.shape
+    mism = np.sum(np.abs(got - want) > 1e-3)
+    # fp tie fuzz in peak picking may flip a couple of blocks
+    assert mism <= 0.1 * want.size
+
+
+def test_quality_map_dict_coarse(ridge_img):
+    from msu_latentafis_tpu.ops.maps import (construct_dictionary,
+                                             get_quality_map_dict_coarse)
+    dict_all, ori_all, spacing_all = construct_dictionary(ori_num=24)
+    q, d, f = map(np.asarray, get_quality_map_dict_coarse(
+        ridge_img, dict_all, ori_all, spacing_all))
+    blkH, blkW = ridge_img.shape[0] // 16, ridge_img.shape[1] // 16
+    assert q.shape == d.shape == f.shape == (blkH, blkW)
+    assert np.all(np.isfinite(q)) and q.max() > 0
+    # direction is an angle, frequency a reciprocal spacing
+    assert np.all(np.abs(d) <= math.pi)
+    inner = f[1:-1, 1:-1]
+    assert inner.min() >= 0 and inner.max() <= 1.0
+
+    # 2-D ori/spacing arrays exercise the reference's faithful row indexing
+    n_atoms = dict_all.shape[1]
+    ori2 = np.zeros((1024, n_atoms), np.float32)
+    ori2[32] = np.cos(2 * ori_all)
+    ori2[96] = -np.sin(2 * ori_all)
+    sp2 = np.tile(spacing_all, (1024, 1))
+    _, d2, f2 = map(np.asarray, get_quality_map_dict_coarse(
+        ridge_img, dict_all, ori2, sp2))
+    assert d2.shape == (blkH, blkW)
+    np.testing.assert_allclose(f2, f, atol=1e-6)
