@@ -48,8 +48,15 @@ def _greedy_rounds(S, blockers, eligible):
     are f32 masks — Mosaic cannot legalize while_loop over i1 vectors.
     Each while iteration runs TWO rounds: a round is a no-op once its set
     converged, so this is exact while halving the serial scalar-reduce
-    chain of ``cond`` (the cond reduction is latency-bound on TPU)."""
+    chain of ``cond`` (the cond reduction is latency-bound on TPU).
+
+    Each round needs two counts per slot — live blockers (any_live) and
+    selected blockers (blocked_by_sel). Both come from ONE [T, K, K]
+    multiply-reduce with the weight (1 - rej) + KW*sel (KW > K): counts
+    are small integers, so q = u + KW*s is exact in f32 and u > 0 <=>
+    q > 0.5, s > 0 <=> q > KW - 0.5 (u <= K < KW)."""
     elig_f = eligible.astype(jnp.float32)
+    KW = float(S.shape[-1] + 1)
 
     def cond(state):
         sel, rej = state
@@ -58,10 +65,10 @@ def _greedy_rounds(S, blockers, eligible):
     def one_round(state):
         sel, rej = state
         undecided = elig_f * (1.0 - sel) * (1.0 - rej)
-        blocked_by_sel = (jnp.sum(blockers * sel[:, None, :], axis=2)
-                          > 0.5).astype(jnp.float32)
-        any_live = (jnp.sum(blockers * (1.0 - rej)[:, None, :], axis=2)
-                    > 0.5).astype(jnp.float32)
+        w = (1.0 - rej) + KW * sel
+        q = jnp.sum(blockers * w[:, None, :], axis=2)
+        blocked_by_sel = (q > KW - 0.5).astype(jnp.float32)
+        any_live = (q > 0.5).astype(jnp.float32)
         sel = jnp.minimum(sel + undecided * (1.0 - any_live), 1.0)
         rej = jnp.minimum(rej + undecided * blocked_by_sel, 1.0)
         return sel, rej
@@ -95,13 +102,21 @@ def _blockers(S, badf, eligible, idx_f):
 
 
 def _filter_body(val, lx, ly, lc, ls, rx, ry, rc, rs, li, ri, vf,
-                 lookup: bool, dist_iters: int, K: int):
+                 lookup: bool, dist_iters: int, K: int, stages: int = 6):
     """Shared straight-line filter body over a [T, K] tile of correspondence
     sets: distance H + power iterations + greedy rounds + angle H + power +
-    greedy. Returns the per-set filtered scores [T]."""
+    greedy. Returns the per-set filtered scores [T].
+
+    ``stages`` (bench-only hook, default = full body) truncates the
+    pipeline: 1=H1 build, 2=+power, 3=+greedy, 4=+angle-H build,
+    5=+power, 6=full."""
     d_thr = 30.0
     lut_n = 50.0
     valid = vf > 0.5
+    if stages <= 0:      # bench-only: fixed overhead (I/O + grid) floor
+        return (jnp.sum(val * vf, axis=1) + jnp.sum(lx + ly + lc + ls, axis=1)
+                + jnp.sum(rx + ry + rc + rs, axis=1)
+                + jnp.sum(li + ri, axis=1))
 
     idx_f = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)[0] \
         .astype(jnp.float32)
@@ -134,9 +149,13 @@ def _filter_body(val, lx, ly, lc, ls, rx, ry, rc, rs, li, ri, vf,
     if in_rangef is not None:
         gatef = in_rangef * gatef
     H1 = H1 * gatef
+    if stages <= 1:
+        return jnp.sum(jnp.sum(H1, axis=2), axis=1)
 
     b0 = jnp.where(valid, val, 0.0)
     S1 = _power_iter(H1, b0, dist_iters)
+    if stages <= 2:
+        return jnp.sum(S1, axis=1)
 
     conflictf = jnp.minimum(
         (li[:, :, None] == li[:, None, :]).astype(jnp.float32)
@@ -145,6 +164,8 @@ def _filter_body(val, lx, ly, lc, ls, rx, ry, rc, rs, li, ri, vf,
                         + (H1 < 1e-5).astype(jnp.float32), 1.0) * neyef[None]
     elig1 = valid & (S1 >= 1e-4)
     sel1 = _greedy_rounds(S1, _blockers(S1, bad1f, elig1, idx_f), elig1)
+    if stages <= 3:
+        return jnp.sum(jnp.where(sel1, val, 0.0), axis=1)
 
     # ---- stage 2: angle-consistency H (trig-free)
     # the three tests reduce to rotations of v_i = lori_i - rori_i (a
@@ -177,10 +198,14 @@ def _filter_body(val, lx, ly, lc, ls, rx, ry, rc, rs, li, ri, vf,
     s1f = sel1.astype(jnp.float32)
     selpairf = s1f[:, None, :] * s1f[:, :, None] * neyef[None]
     H2f = (t1 & t2 & t3).astype(jnp.float32) * selpairf
+    if stages <= 4:
+        return jnp.sum(jnp.sum(H2f, axis=2), axis=1)
 
     n2 = jnp.sum(s1f, axis=1, keepdims=True)
     b2 = jnp.where(sel1, 1.0 / jnp.maximum(n2, 1.0), 0.0)
     S2 = _power_iter(H2f, b2, 5)
+    if stages <= 5:
+        return jnp.sum(S2, axis=1)
 
     bad2f = jnp.minimum(conflictf
                         + (H2f < 0.5).astype(jnp.float32), 1.0) * neyef[None]
@@ -190,14 +215,15 @@ def _filter_body(val, lx, ly, lc, ls, rx, ry, rc, rs, li, ri, vf,
     return jnp.sum(jnp.where(sel2, val, 0.0), axis=1)
 
 
-def _make_filter_kernel(lookup: bool, dist_iters: int, K: int):
+def _make_filter_kernel(lookup: bool, dist_iters: int, K: int,
+                        stages: int = 6):
     def kernel(val_ref, lx_ref, ly_ref, lc_ref, ls_ref, rx_ref, ry_ref,
                rc_ref, rs_ref, li_ref, ri_ref, valid_ref, score_ref):
         score = _filter_body(
             val_ref[...], lx_ref[...], ly_ref[...], lc_ref[...], ls_ref[...],
             rx_ref[...], ry_ref[...], rc_ref[...], rs_ref[...],
             li_ref[...], ri_ref[...], valid_ref[...],
-            lookup, dist_iters, K)
+            lookup, dist_iters, K, stages)
         score_ref[...] = score[:, None]
 
     return kernel
@@ -251,9 +277,10 @@ def fused_graph_filter(val, lxy, lori, rxy, rori, li, ri, valid,
 
 @functools.partial(jax.jit,
                    static_argnames=("lookup", "dist_iters", "tile",
-                                    "interpret"))
+                                    "stages", "interpret"))
 def fused_graph_filter_packed(val, gl, gr, li, ri, valid, lookup: bool,
                               dist_iters: int, tile: int = 0,
+                              stages: int = 6,
                               interpret: bool = False) -> jnp.ndarray:
     """fused_graph_filter taking packed gathered operands.
 
@@ -276,7 +303,7 @@ def fused_graph_filter_packed(val, gl, gr, li, ri, valid, lookup: bool,
                   for a in arrays]
     NPp = NP + pad
 
-    kernel = _make_filter_kernel(lookup, dist_iters, K)
+    kernel = _make_filter_kernel(lookup, dist_iters, K, stages)
     spec = pl.BlockSpec((tile, K), lambda t: (t, 0))
     out = pl.pallas_call(
         kernel,
