@@ -96,21 +96,28 @@ def _blockers(S, badf, eligible, idx_f):
     gt = (S[:, None, :] > S[:, :, None]).astype(jnp.float32)
     eq_tie = ((S[:, None, :] == S[:, :, None])
               & (idx_f[None, None, :] < idx_f[None, :, None])).astype(jnp.float32)
-    outranks = jnp.minimum(gt + eq_tie, 1.0)
+    outranks = gt + eq_tie          # disjoint events: already 0/1
     ef = eligible.astype(jnp.float32)
     return badf * outranks * ef[:, None, :] * ef[:, :, None]
 
 
 def _filter_body(val, lx, ly, lc, ls, rx, ry, rc, rs, li, ri, vf,
-                 lookup: bool, dist_iters: int, K: int, stages: int = 6):
+                 lookup: bool, dist_iters: int, K: int, stages: int = 6,
+                 stage2_cap: int = 0):
     """Shared straight-line filter body over a [T, K] tile of correspondence
     sets: distance H + power iterations + greedy rounds + angle H + power +
     greedy. Returns the per-set filtered scores [T].
 
     ``stages`` (bench-only hook, default = full body) truncates the
     pipeline: 1=H1 build, 2=+power, 3=+greedy, 4=+angle-H build,
-    5=+power, 6=full."""
-    d_thr = 30.0
+    5=+power, 6=full.
+
+    ``stage2_cap``: when 0 < cap < K, the angle stage runs on a compacted
+    [T, cap] problem holding only the stage-1 survivors. Exact whenever no
+    set keeps more than ``cap`` correspondences after greedy-1 — guaranteed
+    for cap >= P (latent minutiae count): survivors block each other on
+    shared latent indices, so they have pairwise-distinct li. Compaction is
+    rank-order-preserving, so greedy-2 tie order is unchanged."""
     lut_n = 50.0
     valid = vf > 0.5
     if stages <= 0:      # bench-only: fixed overhead (I/O + grid) floor
@@ -143,9 +150,10 @@ def _filter_body(val, lx, ly, lc, ls, rx, ry, rc, rs, li, ri, vf,
         d1 = jnp.sqrt(dxl * dxl + dyl * dyl)
         d2 = jnp.sqrt(dxr * dxr + dyr * dyr)
     dist = jnp.abs(d1 - d2)
+    # the reference's dist <= d_thr (30 px) gate is subsumed by the clip:
+    # (30 - dist)/25 clamps to exactly 0 for dist >= 30
     H1 = jnp.clip((30.0 - dist) / 25.0, 0.0, 1.0)
-    pairf = vf[:, None, :] * vf[:, :, None] * neyef[None]
-    gatef = (dist <= d_thr).astype(jnp.float32) * pairf
+    gatef = vf[:, None, :] * vf[:, :, None] * neyef[None]
     if in_rangef is not None:
         gatef = in_rangef * gatef
     H1 = H1 * gatef
@@ -167,6 +175,56 @@ def _filter_body(val, lx, ly, lc, ls, rx, ry, rc, rs, li, ri, vf,
     if stages <= 3:
         return jnp.sum(jnp.where(sel1, val, 0.0), axis=1)
 
+    s1f = sel1.astype(jnp.float32)
+    n2 = jnp.sum(s1f, axis=1, keepdims=True)               # [T, 1]
+
+    if 0 < stage2_cap < K:
+        # ---- compact the survivors into the first `cap` slots. Slot =
+        # selected-prefix rank (one [T, K] @ [K, K] 0/1 matmul — integer
+        # counts are exact through the MXU's bf16-split passes); values
+        # move via per-set one-hot [cap, K] @ [K, 11] matmuls, the same
+        # precision as the selection kernels' one-hot gathers.
+        K2 = stage2_cap
+        rank = jnp.dot(s1f, _strict_lt(K, K),
+                       preferred_element_type=jnp.float32)  # [T, K]
+        slotm = rank * s1f - (1.0 - s1f)                   # -1 = unselected
+        iota_kk2 = jax.lax.broadcasted_iota(jnp.int32, (K, K2), 1) \
+            .astype(jnp.float32)
+        # Vt stacks the 11 slot vectors along sublanes (lane-major [.., K]
+        # stays lane-major — no relayout); compacted = Vt @ one-hot(slot)
+        Vt = jnp.stack([val, lx, ly, lc, ls, rx, ry, rc, rs, li, ri],
+                       axis=1)                             # [T, 11, K]
+        outs = []
+        for t in range(val.shape[0]):
+            Ct = (iota_kk2 == slotm[t][:, None]).astype(jnp.float32)
+            outs.append(jnp.dot(Vt[t], Ct,
+                                preferred_element_type=jnp.float32))
+        Vc = jnp.stack(outs)                               # [T, 11, K2]
+        val2, lx2, ly2, lc2, ls2 = (Vc[:, j] for j in range(5))
+        rx2, ry2, rc2, rs2, lif2, rif2 = (Vc[:, j] for j in range(5, 11))
+        sel1b = (jax.lax.broadcasted_iota(jnp.int32, (val.shape[0], K2), 1)
+                 .astype(jnp.float32) < n2)
+        dxl2 = lx2[:, :, None] - lx2[:, None, :]
+        dyl2 = ly2[:, :, None] - ly2[:, None, :]
+        dxr2 = rx2[:, :, None] - rx2[:, None, :]
+        dyr2 = ry2[:, :, None] - ry2[:, None, :]
+        conflict2 = jnp.minimum(
+            (lif2[:, :, None] == lif2[:, None, :]).astype(jnp.float32)
+            + (rif2[:, :, None] == rif2[:, None, :]).astype(jnp.float32),
+            1.0)
+        idx2_f = jax.lax.broadcasted_iota(jnp.int32, (1, K2), 1)[0] \
+            .astype(jnp.float32)
+        eyef2 = (jax.lax.broadcasted_iota(jnp.int32, (K2, K2), 0)
+                 == jax.lax.broadcasted_iota(jnp.int32, (K2, K2), 1)) \
+            .astype(jnp.float32)
+        neyef2 = 1.0 - eyef2
+    else:
+        K2 = K
+        val2, lc2, ls2, rc2, rs2 = val, lc, ls, rc, rs
+        sel1b = sel1
+        dxl2, dyl2, dxr2, dyr2 = dxl, dyl, dxr, dyr
+        conflict2, idx2_f, neyef2 = conflictf, idx_f, neyef
+
     # ---- stage 2: angle-consistency H (trig-free)
     # the three tests reduce to rotations of v_i = lori_i - rori_i (a
     # per-correspondence 2D quantity) and u = angle_l - angle_r (pairwise):
@@ -174,56 +232,55 @@ def _filter_body(val, lx, ly, lc, ls, rx, ry, rc, rs, li, ri, vf,
     # t3 = cos(v_j - u) >= cos(pi/6) — algebraically identical to the
     # reference's adjust_angle tests (matcher.cpp:1471-1647) but built from
     # [T, K] slot vectors instead of four [T, K, K] relative-angle tensors
-    cos_v = lc * rc + ls * rs                              # [T, K]
-    sin_v = ls * rc - lc * rs
+    cos_v = lc2 * rc2 + ls2 * rs2                          # [T, K2]
+    sin_v = ls2 * rc2 - lc2 * rs2
     t1 = (cos_v[:, :, None] * cos_v[:, None, :]
           + sin_v[:, :, None] * sin_v[:, None, :]) >= _COS_PI_4
 
-    r2l = dxl * dxl + dyl * dyl
+    r2l = dxl2 * dxl2 + dyl2 * dyl2
     zl = r2l == 0.0
     invl = jax.lax.rsqrt(jnp.where(zl, 1.0, r2l))
-    cLl = jnp.where(zl, 1.0, dxl * invl)
-    sLl = jnp.where(zl, 0.0, -dyl * invl)
-    r2r = dxr * dxr + dyr * dyr
+    cLl = jnp.where(zl, 1.0, dxl2 * invl)
+    sLl = jnp.where(zl, 0.0, -dyl2 * invl)
+    r2r = dxr2 * dxr2 + dyr2 * dyr2
     zr = r2r == 0.0
     invr = jax.lax.rsqrt(jnp.where(zr, 1.0, r2r))
-    cLr = jnp.where(zr, 1.0, dxr * invr)
-    sLr = jnp.where(zr, 0.0, -dyr * invr)
-    cos_u = cLl * cLr + sLl * sLr                          # [T, K, K]
+    cLr = jnp.where(zr, 1.0, dxr2 * invr)
+    sLr = jnp.where(zr, 0.0, -dyr2 * invr)
+    cos_u = cLl * cLr + sLl * sLr                          # [T, K2, K2]
     sin_u = sLl * cLr - cLl * sLr
 
     t2 = (cos_v[:, :, None] * cos_u + sin_v[:, :, None] * sin_u) >= _COS_PI_6
     t3 = (cos_v[:, None, :] * cos_u + sin_v[:, None, :] * sin_u) >= _COS_PI_6
 
-    s1f = sel1.astype(jnp.float32)
-    selpairf = s1f[:, None, :] * s1f[:, :, None] * neyef[None]
+    s1bf = sel1b.astype(jnp.float32)
+    selpairf = s1bf[:, None, :] * s1bf[:, :, None] * neyef2[None]
     H2f = (t1 & t2 & t3).astype(jnp.float32) * selpairf
     if stages <= 4:
         return jnp.sum(jnp.sum(H2f, axis=2), axis=1)
 
-    n2 = jnp.sum(s1f, axis=1, keepdims=True)
-    b2 = jnp.where(sel1, 1.0 / jnp.maximum(n2, 1.0), 0.0)
+    b2 = jnp.where(sel1b, 1.0 / jnp.maximum(n2, 1.0), 0.0)
     S2 = _power_iter(H2f, b2, 5)
     if stages <= 5:
         return jnp.sum(S2, axis=1)
 
-    bad2f = jnp.minimum(conflictf
-                        + (H2f < 0.5).astype(jnp.float32), 1.0) * neyef[None]
-    elig2 = sel1 & (S2 >= 1e-3)
-    sel2 = _greedy_rounds(S2, _blockers(S2, bad2f, elig2, idx_f), elig2)
+    bad2f = jnp.minimum(conflict2
+                        + (H2f < 0.5).astype(jnp.float32), 1.0) * neyef2[None]
+    elig2 = sel1b & (S2 >= 1e-3)
+    sel2 = _greedy_rounds(S2, _blockers(S2, bad2f, elig2, idx2_f), elig2)
 
-    return jnp.sum(jnp.where(sel2, val, 0.0), axis=1)
+    return jnp.sum(jnp.where(sel2, val2, 0.0), axis=1)
 
 
 def _make_filter_kernel(lookup: bool, dist_iters: int, K: int,
-                        stages: int = 6):
+                        stages: int = 6, stage2_cap: int = 0):
     def kernel(val_ref, lx_ref, ly_ref, lc_ref, ls_ref, rx_ref, ry_ref,
                rc_ref, rs_ref, li_ref, ri_ref, valid_ref, score_ref):
         score = _filter_body(
             val_ref[...], lx_ref[...], ly_ref[...], lc_ref[...], ls_ref[...],
             rx_ref[...], ry_ref[...], rc_ref[...], rs_ref[...],
             li_ref[...], ri_ref[...], valid_ref[...],
-            lookup, dist_iters, K, stages)
+            lookup, dist_iters, K, stages, stage2_cap)
         score_ref[...] = score[:, None]
 
     return kernel
@@ -277,10 +334,10 @@ def fused_graph_filter(val, lxy, lori, rxy, rori, li, ri, valid,
 
 @functools.partial(jax.jit,
                    static_argnames=("lookup", "dist_iters", "tile",
-                                    "stages", "interpret"))
+                                    "stages", "stage2_cap", "interpret"))
 def fused_graph_filter_packed(val, gl, gr, li, ri, valid, lookup: bool,
                               dist_iters: int, tile: int = 0,
-                              stages: int = 6,
+                              stages: int = 6, stage2_cap: int = 0,
                               interpret: bool = False) -> jnp.ndarray:
     """fused_graph_filter taking packed gathered operands.
 
@@ -303,7 +360,7 @@ def fused_graph_filter_packed(val, gl, gr, li, ri, valid, lookup: bool,
                   for a in arrays]
     NPp = NP + pad
 
-    kernel = _make_filter_kernel(lookup, dist_iters, K, stages)
+    kernel = _make_filter_kernel(lookup, dist_iters, K, stages, stage2_cap)
     spec = pl.BlockSpec((tile, K), lambda t: (t, 0))
     out = pl.pallas_call(
         kernel,
@@ -506,6 +563,11 @@ def _block_mats(rows: int, group: int):
 def _make_minutiae_match_kernel(K: int, tile_b: int, P: int, R: int,
                                 row_cap: int, lookup: bool, dist_iters: int,
                                 bisect_iters: int = 30):
+    # stage-2 compaction to P slots is exact here (survivors have distinct
+    # li) but measured break-even on v5e: the ~5 ms/block saved in the
+    # angle stage is repaid in relayouts + one-hot compaction matmuls.
+    # Kept available via _filter_body(stage2_cap=) for other shapes.
+    stage2_cap = 0
     """End-to-end minutiae-template scoring kernel.
 
     Per (latent template, gallery entry) pair, entirely in VMEM:
@@ -632,7 +694,8 @@ def _make_minutiae_match_kernel(K: int, tile_b: int, P: int, R: int,
         score = _filter_body(jnp.stack(vals), gl[:, 0], gl[:, 1], gl[:, 2],
                              gl[:, 3], gr[:, 0], gr[:, 1], gr[:, 2],
                              gr[:, 3], jnp.stack(lis), jnp.stack(ris),
-                             jnp.stack(vfs), lookup, dist_iters, K)
+                             jnp.stack(vfs), lookup, dist_iters, K,
+                             stage2_cap=stage2_cap)
         score_ref[...] = score[:, None]
 
     return kernel

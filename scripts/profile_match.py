@@ -12,6 +12,8 @@ being measured). Subtraction gives a per-stage cost breakdown:
   notex     - fused_texture_match stubbed (isolates texture selection +
               filter; the ADC row-max kernel stays)
   core      - both stubbed: ADC kernel + block slicing + scan machinery
+  noadc     - all three stubbed: block slicing + scan machinery only
+              (core - noadc isolates the ADC row-max kernel)
 
 Env: PROF_GALLERY (default 16384), PROF_LATENTS (8), PROF_BLOCK (512).
 Run alone — never concurrently with another TPU process.
@@ -55,6 +57,16 @@ def main():
 
     def fake_tex(best, bestj, lvalidf, lpackT, rpackT, **kw):
         return jnp.sum(best, axis=2) * 1e-30
+
+    real_adc = pk.fused_adc_rowmax
+
+    def fake_adc(x, lsq, dect, rsq, rva, **kw):
+        NL, Lt, D = x.shape
+        B = dect.shape[0]
+        xs = jnp.sum(x.astype(jnp.float32), 2)             # [NL, Lt]
+        ds = jnp.sum(dect.astype(jnp.float32), (1, 2))     # [B]
+        best = xs[:, None, :] * 1e-30 + ds[None, :, None] * 1e-30
+        return best, jnp.zeros(best.shape, jnp.int32)
 
     def make_gallery(engine):
         chunk = 4096
@@ -131,6 +143,9 @@ def main():
     results["nominu"] = run("nominu")
     pk.fused_texture_match = fake_tex
     results["core"] = run("core")
+    pk.fused_adc_rowmax = fake_adc
+    results["noadc"] = run("noadc")
+    pk.fused_adc_rowmax = real_adc
     pk.fused_minutiae_match = real_minu
     results["notex"] = run("notex")
     pk.fused_texture_match = real_tex
@@ -139,6 +154,8 @@ def main():
         "minu_kernel_s": round(results["full"] - results["nominu"], 4),
         "tex_kernel_s": round(results["full"] - results["notex"], 4),
         "core_s": round(results["core"], 4),
+        "adc_s": round(results["core"] - results["noadc"], 4),
+        "scan_s": round(results["noadc"], 4),
     }))
 
 

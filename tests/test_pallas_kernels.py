@@ -276,3 +276,31 @@ def test_minutiae_correspondence_indices_matches_full(rng):
     np.testing.assert_array_equal(np.asarray(li), np.asarray(wli))
     np.testing.assert_array_equal(np.asarray(ri), np.asarray(wri))
     np.testing.assert_array_equal(np.asarray(valid), np.asarray(wvalid))
+
+
+@pytest.mark.parametrize("lookup", [False, True])
+def test_fused_graph_filter_stage2_compaction_exact(rng, lookup):
+    """stage2_cap compaction must reproduce the uncompacted filter when
+    latent indices take fewer than `cap` distinct values (the production
+    invariant: greedy-1 survivors have pairwise-distinct li)."""
+    NP, K, CAP = 8, 48, 16
+    hi = 30 if lookup else 480
+    val = jnp.asarray(rng.uniform(0.5, 3.0, (NP, K)), jnp.float32)
+    gl = jnp.asarray(rng.integers(0, hi, (NP, K, 4)), jnp.float32)
+    gr = jnp.asarray(rng.integers(0, hi, (NP, K, 4)), jnp.float32)
+    gl = gl.at[..., 2:].set(jnp.asarray(
+        rng.uniform(-1, 1, (NP, K, 2)), jnp.float32))
+    gr = gr.at[..., 2:].set(jnp.asarray(
+        rng.uniform(-1, 1, (NP, K, 2)), jnp.float32))
+    li = jnp.asarray(rng.integers(0, CAP, (NP, K)), jnp.int32)  # <= CAP ids
+    ri = jnp.asarray(rng.integers(0, 400, (NP, K)), jnp.int32)
+    valid = jnp.asarray(rng.random((NP, K)) > 0.15)
+    base = pk.fused_graph_filter_packed(
+        val, gl, gr, li, ri, valid, lookup=lookup,
+        dist_iters=3 if lookup else 5, tile=4, interpret=True)
+    compact = pk.fused_graph_filter_packed(
+        val, gl, gr, li, ri, valid, lookup=lookup,
+        dist_iters=3 if lookup else 5, tile=4, stage2_cap=CAP,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(compact), np.asarray(base),
+                               rtol=1e-4, atol=1e-4)
