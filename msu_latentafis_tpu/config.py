@@ -23,6 +23,8 @@ class AfisConfig:
     DescriptorModelPatch11: str = ""
     MinutiaeExtractionModel: str = ""
     MinutiaeExtractionModelLatentSTFT: str = ""
+    # the rolled path's 64x64-patch variant (minutiae_AEC_modified)
+    MinutiaeExtractionModelRolled: str = ""
     EnhancementModel: str = ""
     # data paths
     LatentImageDirectory: str = ""

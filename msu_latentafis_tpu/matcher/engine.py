@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..templates.data_model import MatcherConstants as MC
-from ..templates.packing import PackedGallery, PackedLatent
+from ..templates.packing import PackedGallery, PackedLatent, repad_latent
 from . import pallas_kernels as pk
 from .graph_filter import filter_correspondences
 from .minutiae_match import minutiae_match_single
@@ -149,6 +149,10 @@ class MatchEngine:
         # texture scoring runs as one Pallas kernel over an (NL, B) grid,
         # and graph filtering vmaps over (NL, B).
         self._match_fn = jax.jit(self._match_all)
+        # serving-path jit cache: callables built per static configuration
+        # (decode chunking, mesh sharding) are cached here so repeat calls
+        # hit XLA's compile cache instead of retracing a fresh closure
+        self._fn_cache: dict = {}
 
     # ------------------------------------------------------------------
     def load_gallery(self, packed: PackedGallery,
@@ -243,20 +247,32 @@ class MatchEngine:
             codes = jnp.concatenate(
                 [codes, jnp.zeros((Gpad - G, flat), codes.dtype)])
 
-        @jax.jit
-        def decode_all(codes):
-            blocks = codes.reshape(nchunks, chunk, Rt, S)
-            def one(blk):
-                dec = self._decode(blk)
-                if self.tex_int8:
-                    dec = jnp.clip(jnp.round(dec.astype(jnp.float32)
-                                             / self._tex_scale_g),
-                                   -127, 127).astype(jnp.int8)
-                return jnp.swapaxes(dec, 1, 2)                 # [chunk, D, Rt]
-            return jax.lax.map(one, blocks).reshape(Gpad, D, Rt)
-
-        dec = decode_all(codes)[:G]
+        dec = self._decode_all_fn(nchunks, chunk, Rt, S)(codes)[:G]
         return dataclasses.replace(gal, tex_dec=dec, tex_codes=None)
+
+    def _decode_all_fn(self, nchunks: int, chunk: int, Rt: int, S: int):
+        """Cached jitted whole-gallery decoder (a fresh closure per call
+        would retrace every time — jit caches on function identity)."""
+        key = ("decode_all", nchunks, chunk, Rt, S)
+        if key not in self._fn_cache:
+            D = S * self.sub_dim
+            Gpad = nchunks * chunk
+
+            @jax.jit
+            def decode_all(codes):
+                blocks = codes.reshape(nchunks, chunk, Rt, S)
+
+                def one(blk):
+                    dec = self._decode(blk)
+                    if self.tex_int8:
+                        dec = jnp.clip(jnp.round(dec.astype(jnp.float32)
+                                                 / self._tex_scale_g),
+                                       -127, 127).astype(jnp.int8)
+                    return jnp.swapaxes(dec, 1, 2)             # [chunk, D, Rt]
+                return jax.lax.map(one, blocks).reshape(Gpad, D, Rt)
+
+            self._fn_cache[key] = decode_all
+        return self._fn_cache[key]
 
     # ------------------------------------------------------------------
     def _match_all(self, lat: dict, gal: dict) -> jnp.ndarray:
@@ -480,11 +496,38 @@ class MatchEngine:
         return MatchResult(scores=scores, names=gallery.names)
 
     def list_to_list(self, latents: Sequence[PackedLatent],
-                     gallery: DeviceGallery) -> List[MatchResult]:
-        """Batch (-ldir) mode: every latent against the whole gallery."""
-        scores = np.asarray(self.match_scores_batch(latents, gallery))
-        return [MatchResult(scores=s[:gallery.n_real], names=gallery.names)
-                for s in scores]
+                     gallery: DeviceGallery,
+                     lm_bucket: int = 32, lt_bucket: int = 128,
+                     max_batch: int = 8) -> List[MatchResult]:
+        """Batch (-ldir) mode: every latent against the whole gallery.
+
+        Real latent directories are heterogeneous (ragged minutiae counts
+        per image — List2List_matching, matcher.cpp:96-214). Padding every
+        latent to the global max would waste compute; compiling per exact
+        shape would retrace per latent. Instead latents are padded up to
+        (lm_bucket, lt_bucket) multiples and matched bucket by bucket, so
+        the engine compiles O(#buckets) variants. Results come back in
+        input order.
+        """
+        buckets: dict = {}
+        for i, lat in enumerate(latents):
+            blm = -(-max(int(lat.minu_n.max()), 1) // lm_bucket) * lm_bucket
+            blt = -(-max(int(lat.tex_n), 1) // lt_bucket) * lt_bucket
+            key = (lat.minu_des.shape[0], blm, blt, lat.minu_des.shape[2])
+            buckets.setdefault(key, []).append(
+                (i, repad_latent(lat, blm, blt)))
+
+        out: List[Optional[MatchResult]] = [None] * len(latents)
+        for (_, _, _, _), group in sorted(buckets.items()):
+            for start in range(0, len(group), max_batch):
+                chunk = group[start:start + max_batch]
+                idxs = [i for i, _ in chunk]
+                scores = np.asarray(self.match_scores_batch(
+                    [l for _, l in chunk], gallery))
+                for i, s in zip(idxs, scores):
+                    out[i] = MatchResult(scores=s[:gallery.n_real],
+                                         names=gallery.names)
+        return out  # type: ignore[return-value]
 
 
 def write_score_csv(path: str, result: MatchResult) -> None:

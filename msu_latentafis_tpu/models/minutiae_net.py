@@ -45,6 +45,33 @@ class MinutiaeAEC(nn.Module):
         return nn.relu(x)
 
 
+class MinutiaeAEC64(nn.Module):
+    """The 64x64-patch variant used by the ROLLED extraction path.
+
+    The reference's extraction_rolled.py:15 imports
+    ``minutiae_AEC_modified``, whose model is a shallower conv-deconv
+    (minutiae_AEC_modified.py:234-249): four 4x4 stride-2 encoder convs
+    (nf, 2nf, 4nf, 8nf) with a tanh bottleneck, then deconvs (4nf, 2nf, nf)
+    and a final identity deconv to 12 channels — note NO output ReLU,
+    unlike the 128 variant. Fully convolutional with downsample factor 16.
+    """
+
+    nf: int = 64
+    num_ori: int = 12
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        nf = self.nf
+        for mult in [1, 2, 4, 8]:
+            x = ConvBNRelu(nf * mult, dtype=self.dtype)(x, train)
+        x = jnp.tanh(x)  # bottleneck 'feature'
+        for mult in [4, 2, 1]:
+            x = DeconvBNRelu(nf * mult, dtype=self.dtype)(x, train)
+        return nn.ConvTranspose(self.num_ori, (4, 4), strides=(2, 2),
+                                dtype=self.dtype)(x)
+
+
 class MinutiaeUNet(nn.Module):
     """U-Net variant with encoder-decoder skip connections."""
 
@@ -98,13 +125,16 @@ def detect_minutiae_tiled(apply_fn, variables, img: np.ndarray,
 
 
 def detect_minutiae_whole_image(apply_fn, variables, img: np.ndarray,
-                                minu_thr: float = 0.2) -> np.ndarray:
+                                minu_thr: float = 0.2, multiple: int = 64,
+                                refine_dist_thr: float = 20.0) -> np.ndarray:
     """Whole-image minutiae detection: x/128-1 normalize, FCN forward, crop,
-    decode + refine + crowding filter (minutiae_AEC.py:76-88)."""
+    decode + refine + crowding filter (minutiae_AEC.py:76-88). The 64-patch
+    rolled variant refines at dist 10 instead of 20
+    (minutiae_AEC_modified.py:89) and downsamples by 16, not 64."""
     from ..ops.minutiae import decode_minutiae
     x = jnp.asarray(img, jnp.float32) / 128.0 - 1.0
     x = x[None, :, :, None]
-    x, h, w = pad_to_multiple(x, 64)
+    x, h, w = pad_to_multiple(x, multiple)
     cyl = apply_fn(variables, x)
     cyl = np.asarray(cyl[0, :h, :w, :])
-    return decode_minutiae(cyl, thr=minu_thr)
+    return decode_minutiae(cyl, thr=minu_thr, refine_dist_thr=refine_dist_thr)

@@ -187,14 +187,16 @@ def get_common_minutiae(minutiae_sets, thr: int = 3, init_ind: int = 3) -> np.nd
 
 
 def decode_minutiae(cylinder, thr: float = 0.2, max_minutiae: int = 1000,
-                    refine: bool = True, crowd_filter: bool = True) -> np.ndarray:
+                    refine: bool = True, crowd_filter: bool = True,
+                    refine_dist_thr: float = 20.0) -> np.ndarray:
     """Full whole-image decode pipeline used after minutiae-net inference
-    (minutiae_AEC.py:76-88): decode -> refine(dist 20) -> crowding filter."""
+    (minutiae_AEC.py:76-88): decode -> refine(dist 20; the 64-patch rolled
+    variant passes 10, minutiae_AEC_modified.py:89) -> crowding filter."""
     m, n = decode_cylinder(jnp.asarray(cylinder, jnp.float32), thr,
                            max_minutiae=max_minutiae)
     m = np.asarray(m)[:int(n)]
     if refine and len(m):
-        m = refine_minutiae(m, dist_thr=20, ori_dist=np.pi / 4)
+        m = refine_minutiae(m, dist_thr=refine_dist_thr, ori_dist=np.pi / 4)
     if crowd_filter and len(m):
         m = remove_crowded_minutiae(m)
     return np.asarray(m)

@@ -66,6 +66,26 @@ def shard_gallery(engine: MatchEngine, packed: PackedGallery,
     return engine.maybe_predecode(gal, n_subs=S)
 
 
+def _sharded_match_fn(engine: MatchEngine, mesh: Mesh,
+                      lat_keys: tuple, gal_keys: tuple):
+    """Cached jitted shard_map match (a fresh closure per call would
+    retrace on every invocation — jit caches on function identity)."""
+    key = ("match_sharded", mesh, lat_keys, gal_keys)
+    if key not in engine._fn_cache:
+        lat_specs = {k: P() for k in lat_keys}
+        gal_specs = {k: P() if k == "minu_scale" else P(GALLERY_AXIS)
+                     for k in gal_keys}
+
+        @functools.partial(shard_map, mesh=mesh,
+                           in_specs=(lat_specs, gal_specs),
+                           out_specs=P(None, GALLERY_AXIS))
+        def local_match(lat_, gal_):
+            return engine._match_all(lat_, gal_)
+
+        engine._fn_cache[key] = jax.jit(local_match)
+    return engine._fn_cache[key]
+
+
 def match_sharded(engine: MatchEngine, latent, gallery: DeviceGallery,
                   mesh: Mesh) -> jax.Array:
     """Scores [G] (or [NL, G] for a latent batch) with the gallery axis
@@ -75,17 +95,28 @@ def match_sharded(engine: MatchEngine, latent, gallery: DeviceGallery,
     lat = engine._latent_dict(lats)
     gal = engine._gallery_dict(gallery)
 
-    lat_specs = jax.tree.map(lambda _: P(), lat)
-    gal_specs = jax.tree.map(lambda _: P(GALLERY_AXIS), gal)
-
-    @functools.partial(shard_map, mesh=mesh,
-                       in_specs=(lat_specs, gal_specs),
-                       out_specs=P(None, GALLERY_AXIS))
-    def local_match(lat_, gal_):
-        return engine._match_all(lat_, gal_)
-
-    out = jax.jit(local_match)(lat, gal)
+    fn = _sharded_match_fn(engine, mesh, tuple(sorted(lat)),
+                           tuple(sorted(gal)))
+    out = fn(lat, gal)
     return out[0] if single else out
+
+
+@functools.lru_cache(maxsize=64)
+def _topk_fn(mesh: Mesh, k: int, kk: int, local_n: int):
+    """Cached jitted collective top-k for one (mesh, k, shard size)."""
+
+    @functools.partial(shard_map, mesh=mesh, in_specs=P(GALLERY_AXIS),
+                       out_specs=(P(), P()), check_vma=False)
+    def local_topk(s):
+        v, i = jax.lax.top_k(s, kk)
+        shard = jax.lax.axis_index(GALLERY_AXIS)
+        gi = i + shard * local_n
+        av = jax.lax.all_gather(v, GALLERY_AXIS).reshape(-1)
+        ai = jax.lax.all_gather(gi, GALLERY_AXIS).reshape(-1)
+        fv, fi = jax.lax.top_k(av, min(k, av.shape[0]))
+        return fv, ai[fi]
+
+    return jax.jit(local_topk)
 
 
 def topk_collective(scores: jax.Array, k: int, mesh: Mesh) -> Tuple[jax.Array, jax.Array]:
@@ -99,16 +130,4 @@ def topk_collective(scores: jax.Array, k: int, mesh: Mesh) -> Tuple[jax.Array, j
     G = scores.shape[0]
     local_n = G // n_shards
     kk = min(k, local_n)
-
-    @functools.partial(shard_map, mesh=mesh, in_specs=P(GALLERY_AXIS),
-                       out_specs=(P(), P()), check_vma=False)
-    def local_topk(s):
-        v, i = jax.lax.top_k(s, kk)
-        shard = jax.lax.axis_index(GALLERY_AXIS)
-        gi = i + shard * local_n
-        av = jax.lax.all_gather(v, GALLERY_AXIS).reshape(-1)
-        ai = jax.lax.all_gather(gi, GALLERY_AXIS).reshape(-1)
-        fv, fi = jax.lax.top_k(av, min(k, av.shape[0]))
-        return fv, ai[fi]
-
-    return jax.jit(local_topk)(scores)
+    return _topk_fn(mesh, k, kk, local_n)(scores)

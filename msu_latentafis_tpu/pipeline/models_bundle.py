@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models import (CompNet, DescriptorNet, EnhancementAEC, MinutiaeAEC)
+from ..models.minutiae_net import MinutiaeAEC64
 
 
 def _try_restore(path: Optional[str], target):
@@ -44,7 +45,12 @@ class ModelBundle:
 
     enhancement: Any
     enhancement_vars: Any
-    minutiae: List[Any]            # [latent-STFT model, main model]
+    minutiae: List[Any]            # [latent-STFT 128, latent-AEC 128,
+    #                                 rolled 64-variant] — the reference
+    #                                 loads minutiae_AEC.ImportGraph twice
+    #                                 for latents (extraction_latent.py:50)
+    #                                 and minutiae_AEC_modified for rolled
+    #                                 (extraction_rolled.py:15)
     minutiae_vars: List[Any]
     descriptors: List[Any]         # one per patch type
     descriptor_vars: List[Any]
@@ -62,8 +68,10 @@ class ModelBundle:
 
         enh = EnhancementAEC()
         enh_vars = enh.init(rng, img, train=False)
-        minu = [MinutiaeAEC(), MinutiaeAEC()]
-        minu_vars = [m.init(rng, img, train=False) for m in minu]
+        img64 = jnp.zeros((1, 64, 64, 1), jnp.float32)
+        minu = [MinutiaeAEC(), MinutiaeAEC(), MinutiaeAEC64()]
+        minu_vars = [m.init(rng, img64 if isinstance(m, MinutiaeAEC64)
+                            else img, train=False) for m in minu]
         des = [DescriptorNet() for _ in patch_types]
         des_vars = [m.init(rng, patch, train=False) for m in des]
         comp = CompNet()
@@ -75,6 +83,9 @@ class ModelBundle:
                                         minu_vars[0])
             minu_vars[1] = _try_restore(config.MinutiaeExtractionModel,
                                         minu_vars[1])
+            minu_vars[2] = _try_restore(
+                getattr(config, "MinutiaeExtractionModelRolled", None),
+                minu_vars[2])
             for i, pt in enumerate(patch_types):
                 key = f"DescriptorModelPatch{pt}"
                 des_vars[i] = _try_restore(getattr(config, key, None), des_vars[i])
@@ -107,9 +118,11 @@ class ModelBundle:
     def detect_minutiae(self, model_idx: int, img: np.ndarray,
                         minu_thr: float = 0.2) -> np.ndarray:
         from ..models.minutiae_net import detect_minutiae_whole_image
-        return detect_minutiae_whole_image(self._minu_apply[model_idx],
-                                           self.minutiae_vars[model_idx],
-                                           img, minu_thr=minu_thr)
+        modified = isinstance(self.minutiae[model_idx], MinutiaeAEC64)
+        return detect_minutiae_whole_image(
+            self._minu_apply[model_idx], self.minutiae_vars[model_idx], img,
+            minu_thr=minu_thr, multiple=16 if modified else 64,
+            refine_dist_thr=10.0 if modified else 20.0)
 
     def describe(self, img: np.ndarray, minutiae: np.ndarray,
                  batch_size: int = 128, patch_size: int = 96) -> List[np.ndarray]:

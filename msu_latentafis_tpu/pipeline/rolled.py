@@ -46,7 +46,9 @@ class RolledFeatureExtractor:
         t0 = time.perf_counter()
         contrast_img = np.asarray(C.local_contrast_enhancement(img))
         texture_img = np.asarray(F.fast_cartoon_texture(img))
-        mnt = self.models.detect_minutiae(1, texture_img, 0.15)
+        # the rolled path runs the 64-patch modified variant (bundle slot 2;
+        # extraction_rolled.py:15 imports minutiae_AEC_modified), thr 0.15
+        mnt = self.models.detect_minutiae(2, texture_img, 0.15)
         mnt = M.remove_spurious_minutiae(mnt, mask, r=5)
         self.timings["minutiae"] = time.perf_counter() - t0
 

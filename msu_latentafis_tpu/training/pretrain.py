@@ -38,9 +38,10 @@ def _variables(state):
 
 def pretrain_minutiae(steps: int = 300, batch: int = 16, size: int = 128,
                       nf: int = 64, seed: int = 0, log_every: int = 50,
-                      pool: int = 256):
+                      pool: int = 256, model: Optional[object] = None):
     rng = np.random.default_rng(seed)
-    model = MinutiaeAEC(nf=nf)
+    if model is None:
+        model = MinutiaeAEC(nf=nf)
     key = jax.random.PRNGKey(seed)
     state = create_train_state(model, key, jnp.zeros((batch, size, size, 1)))
     step_fn = jax.jit(l2_train_step)
@@ -151,8 +152,8 @@ def main(argv=None):
     p.add_argument("--out", required=True, help="checkpoint root directory")
     p.add_argument("--steps", type=int, default=300)
     p.add_argument("--which", default="all",
-                   choices=["all", "minutiae", "enhancement", "descriptor",
-                            "compnet"])
+                   choices=["all", "minutiae", "minutiae64", "enhancement",
+                            "descriptor", "compnet"])
     args = p.parse_args(argv)
     os.makedirs(args.out, exist_ok=True)
 
@@ -161,6 +162,11 @@ def main(argv=None):
         _, v = pretrain_minutiae(steps=args.steps)
         save_checkpoint(os.path.join(args.out, "minutiae"), v)
         save_checkpoint(os.path.join(args.out, "minutiae_stft"), v)
+    if args.which in ("all", "minutiae64"):
+        from ..models.minutiae_net import MinutiaeAEC64
+        _, v = pretrain_minutiae(steps=args.steps, size=64,
+                                 model=MinutiaeAEC64())
+        save_checkpoint(os.path.join(args.out, "minutiae64"), v)
     if args.which in ("all", "enhancement"):
         _, v = pretrain_enhancement(steps=args.steps)
         save_checkpoint(os.path.join(args.out, "enhancement"), v)

@@ -39,6 +39,8 @@ def load_bundle(ckpt_root):
             os.path.join(ckpt_root, "minutiae_stft"), bundle.minutiae_vars[0])
         bundle.minutiae_vars[1] = _try_restore(
             os.path.join(ckpt_root, "minutiae"), bundle.minutiae_vars[1])
+        bundle.minutiae_vars[2] = _try_restore(
+            os.path.join(ckpt_root, "minutiae64"), bundle.minutiae_vars[2])
         for i, pt in enumerate(bundle.patch_types):
             bundle.descriptor_vars[i] = _try_restore(
                 os.path.join(ckpt_root, f"descriptor_patch{pt}"),

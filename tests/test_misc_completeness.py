@@ -49,6 +49,20 @@ def test_tiled_inference_matches_scale(rng):
     out = enhance_tiled(apply_fn, v, img)
     assert out.shape == img.shape and 0 <= out.min() and out.max() <= 255
 
+    from msu_latentafis_tpu.models import MinutiaeAEC64
+    from msu_latentafis_tpu.models.minutiae_net import \
+        detect_minutiae_whole_image
+    m64 = MinutiaeAEC64(nf=4)
+    v64 = m64.init(jax.random.PRNGKey(3), jnp.zeros((1, 64, 64, 1)),
+                   train=False)
+    apply64 = jax.jit(lambda v, x: m64.apply(v, x, train=False))
+    # patch-64 tiled inference decodes minutiae from the modified variant
+    mnt64 = detect_minutiae_tiled(apply64, v64, img, minu_thr=0.01, patch=64)
+    assert mnt64.ndim == 2 and (len(mnt64) == 0 or mnt64.shape[1] >= 4)
+    mnt64w = detect_minutiae_whole_image(apply64, v64, img, minu_thr=0.01,
+                                         multiple=16, refine_dist_thr=10.0)
+    assert mnt64w.ndim == 2
+
     mn = MinutiaeAEC(nf=4)
     v2 = mn.init(key, jnp.zeros((1, 128, 128, 1)), train=False)
     apply2 = jax.jit(lambda v, x: mn.apply(v, x, train=False))

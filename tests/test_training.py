@@ -22,6 +22,12 @@ def test_model_output_shapes():
         assert out.shape == (2, 64, 64, ch)
         assert (np.asarray(out) >= 0).all()    # relu head
 
+    from msu_latentafis_tpu.models import MinutiaeAEC64
+    m = MinutiaeAEC64(nf=8)           # rolled-path 64-patch variant:
+    v = m.init(rng, x, train=False)   # downsample factor 16, identity head
+    x48 = jnp.zeros((2, 48, 48, 1))   # any multiple of 16, not only 64
+    assert m.apply(v, x48, train=False).shape == (2, 48, 48, 12)
+
     m = EnhancementAEC(nf=8)
     v = m.init(rng, x, train=False)
     out = m.apply(v, x, train=False)
