@@ -330,12 +330,21 @@ class MatchEngine:
              jnp.cos(lat["tex_ori"]), jnp.sin(lat["tex_ori"])],
             axis=1)                                          # [NL, 4, Lt]
 
-        def pair_tex(val, li, ri, lxy, lori, r_xy, r_ori):
+        def pair_tex(val, li, ri, lxy, lori, r_xy, r_ori, tex_n):
             valid = val > pk.NEG_BIG / 2
             val = jnp.where(valid, val, 0.0)
+            # spec candidate-list order (reference_impl / matcher.cpp:736-749):
+            # latent-row order when <= 200 rows survive, else value-sorted —
+            # the engine's top_k slots are value-ordered, so ties need the
+            # row index as key in the small case (slot order already matches
+            # the sorted case)
+            K = val.shape[0]
+            row_key = jnp.where(tex_n <= MC.TOPN_TEX_CORR,
+                                -li.astype(jnp.float32),
+                                -jnp.arange(K, dtype=jnp.float32))
             return filter_correspondences(
                 val, li, ri, lxy[li], lori[li], r_xy[ri], r_ori[ri],
-                valid, lookup=True, dist_iters=3)
+                valid, lookup=True, dist_iters=3, tie_keys=(row_key,))
 
         def get_block(i):
             # dynamic_slice per step: a whole-array reshape would make XLA
@@ -440,10 +449,11 @@ class MatchEngine:
                 topv, li = jax.lax.top_k(best, k_tex)        # [NL, B, k]
                 ri = jnp.take_along_axis(bestj, li, axis=2)
                 s_tex = jax.vmap(jax.vmap(pair_tex,
-                                          in_axes=(0, 0, 0, None, None, 0, 0)),
-                                 in_axes=(0, 0, 0, 0, 0, None, None))(
+                                          in_axes=(0, 0, 0, None, None, 0, 0,
+                                                   None)),
+                                 in_axes=(0, 0, 0, 0, 0, None, None, 0))(
                     topv, li, ri, lat["tex_xy"], lat["tex_ori"],
-                    tex_xy, blk["tex_ori"])                  # [NL, B]
+                    tex_xy, blk["tex_ori"], lat["tex_n"])    # [NL, B]
 
             fused = jnp.sum(s_minu, axis=1) + MC.TEXTURE_SCORE_WEIGHT * s_tex
             nonempty = (blk["minu_n"] > 0) | (blk["tex_n"] > 0)

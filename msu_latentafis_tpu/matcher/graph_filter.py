@@ -152,8 +152,32 @@ def power_iteration(H: jnp.ndarray, b0: jnp.ndarray, iters: int,
     return jax.lax.fori_loop(0, iters, body, b0)
 
 
+def lex_outranks(S: jnp.ndarray, tie_keys: Tuple[jnp.ndarray, ...] = ()
+                 ) -> jnp.ndarray:
+    """outranks[i, j] = True where j precedes i in the spec's greedy order.
+
+    The reference's greedy pass walks candidates by support descending with
+    ties broken by *position in the candidate list* (stable argsort,
+    matcher.cpp:1184-1220). When the engine's slot order differs from the
+    spec's list order, the list position is reconstructed lexicographically:
+    ``tie_keys`` are compared in order (larger wins), with ascending slot
+    index as the final fallback. Stage-2 ties additionally chain the
+    stage-1 ordering (the corr2 list is ordered by stage-1 selection rank),
+    which callers express by prepending S1 and stage-1 keys to tie_keys.
+    """
+    K = S.shape[0]
+    idx = jnp.arange(K)
+    gt = S[None, :] > S[:, None]
+    eq = S[None, :] == S[:, None]
+    for k in tie_keys:
+        gt = gt | (eq & (k[None, :] > k[:, None]))
+        eq = eq & (k[None, :] == k[:, None])
+    return gt | (eq & (idx[None, :] < idx[:, None]))
+
+
 def greedy_one_to_one(S: jnp.ndarray, compat: jnp.ndarray, li: jnp.ndarray,
-                      ri: jnp.ndarray, valid: jnp.ndarray, thr: float) -> jnp.ndarray:
+                      ri: jnp.ndarray, valid: jnp.ndarray, thr: float,
+                      tie_keys: Tuple[jnp.ndarray, ...] = ()) -> jnp.ndarray:
     """Greedy mutual-compatibility selection; returns a selected mask [K].
 
     ``compat`` is boolean pairwise compatibility; a candidate is selected
@@ -168,16 +192,13 @@ def greedy_one_to_one(S: jnp.ndarray, compat: jnp.ndarray, li: jnp.ndarray,
     candidate whose blockers are all decided (two batched mask-matvecs per
     round, ~log K rounds) instead of one selection per step. Exactly
     equivalent to the reference's sorted single pass
-    (matcher.cpp:1184-1220), including first-index tie-breaking.
+    (matcher.cpp:1184-1220), including tie order (see lex_outranks).
     """
     K = S.shape[0]
     conflict = (li[:, None] == li[None, :]) | (ri[:, None] == ri[None, :])
     eligible = valid & (S >= thr)
     bad = (conflict | ~compat) & ~jnp.eye(K, dtype=bool)
-    idx = jnp.arange(K)
-    # j outranks i: higher support, ties to the lower index (stable argmax)
-    outranks = (S[None, :] > S[:, None]) \
-        | ((S[None, :] == S[:, None]) & (idx[None, :] < idx[:, None]))
+    outranks = lex_outranks(S, tie_keys)
     blockers = (bad & outranks & eligible[None, :]
                 & eligible[:, None]).astype(jnp.float32)      # [i, j]
 
@@ -203,25 +224,32 @@ def filter_correspondences(val: jnp.ndarray, li: jnp.ndarray, ri: jnp.ndarray,
                            lxy: jnp.ndarray, lori: jnp.ndarray,
                            rxy: jnp.ndarray, rori: jnp.ndarray,
                            valid: jnp.ndarray, lookup: bool,
-                           dist_iters: int) -> jnp.ndarray:
+                           dist_iters: int,
+                           tie_keys: Tuple[jnp.ndarray, ...] = ()
+                           ) -> jnp.ndarray:
     """Full two-stage filtering of one correspondence set.
 
     Inputs are per-slot gathered arrays: ``val`` raw similarities, ``li/ri``
     latent/rolled minutiae indices, ``lxy/lori`` and ``rxy/rori`` gathered
-    coordinates and orientations. Returns the filtered match score
-    (sum of surviving similarities).
+    coordinates and orientations. ``tie_keys`` reconstructs the spec's
+    candidate-list order when the caller's slot order differs from it (see
+    lex_outranks); stage 2 automatically chains (S1,) + tie_keys because
+    the reference's corr2 list is ordered by stage-1 selection rank.
+    Returns the filtered match score (sum of surviving similarities).
     """
     # Stage 1: distance consistency, support seeded with raw similarities.
     H1 = build_dist_H(lxy, rxy, valid, lookup=lookup)
     b0 = jnp.where(valid, val, 0.0).astype(jnp.float32)
     S1 = power_iteration(H1, b0, dist_iters, eps=1e-5)
-    sel1 = greedy_one_to_one(S1, H1 >= _EPS_COMPAT, li, ri, valid, _THR_DIST)
+    sel1 = greedy_one_to_one(S1, H1 >= _EPS_COMPAT, li, ri, valid, _THR_DIST,
+                             tie_keys=tie_keys)
 
     # Stage 2: angle consistency over stage-1 survivors, uniform seed.
     H2 = build_angle_H(lxy, lori, rxy, rori, sel1)
     n2 = jnp.sum(sel1.astype(jnp.float32))
     b2 = jnp.where(sel1, 1.0 / jnp.maximum(n2, 1.0), 0.0)
     S2 = power_iteration(H2.astype(jnp.float32), b2, 5, eps=1e-5)
-    sel2 = greedy_one_to_one(S2, H2, li, ri, sel1, _THR_ANGLE)
+    sel2 = greedy_one_to_one(S2, H2, li, ri, sel1, _THR_ANGLE,
+                             tie_keys=(S1,) + tuple(tie_keys))
 
     return jnp.sum(jnp.where(sel2, val, 0.0))

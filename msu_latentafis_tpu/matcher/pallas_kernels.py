@@ -89,24 +89,36 @@ def _power_iter(H, b0, iters):
     return jax.lax.fori_loop(0, iters, body, b0)
 
 
-def _blockers(S, badf, eligible, idx_f):
-    """j blocks i: j outranks i (ties to lower index) and selecting j
-    excludes i. [T, K, K] f32. Pairwise logic runs in f32 (Mosaic cannot
-    insert dims on 1-bit vectors)."""
+def _blockers(S, badf, eligible, idx_f, tie_keys=()):
+    """j blocks i: j outranks i and selecting j excludes i. [T, K, K] f32.
+    Pairwise logic runs in f32 (Mosaic cannot insert dims on 1-bit vectors).
+
+    Tie order is the spec's lexicographic candidate-list position
+    (matcher.cpp:1184-1220): S descending, then each key in ``tie_keys``
+    descending, then slot index ascending — needed whenever the kernel's
+    slot order differs from the reference's candidate-list order."""
     gt = (S[:, None, :] > S[:, :, None]).astype(jnp.float32)
-    eq_tie = ((S[:, None, :] == S[:, :, None])
-              & (idx_f[None, None, :] < idx_f[None, :, None])).astype(jnp.float32)
-    outranks = gt + eq_tie          # disjoint events: already 0/1
+    eq = (S[:, None, :] == S[:, :, None]).astype(jnp.float32)
+    for k in tie_keys:
+        gt = gt + eq * (k[:, None, :] > k[:, :, None]).astype(jnp.float32)
+        eq = eq * (k[:, None, :] == k[:, :, None]).astype(jnp.float32)
+    outranks = gt + eq * (idx_f[None, None, :]
+                          < idx_f[None, :, None]).astype(jnp.float32)
     ef = eligible.astype(jnp.float32)
     return badf * outranks * ef[:, None, :] * ef[:, :, None]
 
 
 def _filter_body(val, lx, ly, lc, ls, rx, ry, rc, rs, li, ri, vf,
                  lookup: bool, dist_iters: int, K: int, stages: int = 6,
-                 stage2_cap: int = 0):
+                 stage2_cap: int = 0, tie1=()):
     """Shared straight-line filter body over a [T, K] tile of correspondence
     sets: distance H + power iterations + greedy rounds + angle H + power +
     greedy. Returns the per-set filtered scores [T].
+
+    ``tie1``: optional [T, K] tie-key arrays reconstructing the spec's
+    candidate-list order for stage-1 greedy ties (descending, before the
+    ascending slot-index fallback); stage-2 ties chain (S1,) + tie1 because
+    the reference's corr2 list is ordered by stage-1 selection rank.
 
     ``stages`` (bench-only hook, default = full body) truncates the
     pipeline: 1=H1 build, 2=+power, 3=+greedy, 4=+angle-H build,
@@ -171,7 +183,8 @@ def _filter_body(val, lx, ly, lc, ls, rx, ry, rc, rs, li, ri, vf,
     bad1f = jnp.minimum(conflictf
                         + (H1 < 1e-5).astype(jnp.float32), 1.0) * neyef[None]
     elig1 = valid & (S1 >= 1e-4)
-    sel1 = _greedy_rounds(S1, _blockers(S1, bad1f, elig1, idx_f), elig1)
+    sel1 = _greedy_rounds(S1, _blockers(S1, bad1f, elig1, idx_f,
+                                        tie_keys=tie1), elig1)
     if stages <= 3:
         return jnp.sum(jnp.where(sel1, val, 0.0), axis=1)
 
@@ -190,18 +203,22 @@ def _filter_body(val, lx, ly, lc, ls, rx, ry, rc, rs, li, ri, vf,
         slotm = rank * s1f - (1.0 - s1f)                   # -1 = unselected
         iota_kk2 = jax.lax.broadcasted_iota(jnp.int32, (K, K2), 1) \
             .astype(jnp.float32)
-        # Vt stacks the 11 slot vectors along sublanes (lane-major [.., K]
-        # stays lane-major — no relayout); compacted = Vt @ one-hot(slot)
-        Vt = jnp.stack([val, lx, ly, lc, ls, rx, ry, rc, rs, li, ri],
-                       axis=1)                             # [T, 11, K]
+        # Vt stacks the slot vectors along sublanes (lane-major [.., K]
+        # stays lane-major — no relayout); compacted = Vt @ one-hot(slot).
+        # S1 and the stage-1 tie keys ride along: stage-2 greedy ties need
+        # the stage-1 selection rank (spec corr2 order).
+        extra = [S1] + list(tie1)
+        Vt = jnp.stack([val, lx, ly, lc, ls, rx, ry, rc, rs, li, ri] + extra,
+                       axis=1)                             # [T, 11+E, K]
         outs = []
         for t in range(val.shape[0]):
             Ct = (iota_kk2 == slotm[t][:, None]).astype(jnp.float32)
             outs.append(jnp.dot(Vt[t], Ct,
                                 preferred_element_type=jnp.float32))
-        Vc = jnp.stack(outs)                               # [T, 11, K2]
+        Vc = jnp.stack(outs)                               # [T, 11+E, K2]
         val2, lx2, ly2, lc2, ls2 = (Vc[:, j] for j in range(5))
         rx2, ry2, rc2, rs2, lif2, rif2 = (Vc[:, j] for j in range(5, 11))
+        tie2 = tuple(Vc[:, 11 + e] for e in range(len(extra)))
         sel1b = (jax.lax.broadcasted_iota(jnp.int32, (val.shape[0], K2), 1)
                  .astype(jnp.float32) < n2)
         dxl2 = lx2[:, :, None] - lx2[:, None, :]
@@ -224,6 +241,7 @@ def _filter_body(val, lx, ly, lc, ls, rx, ry, rc, rs, li, ri, vf,
         sel1b = sel1
         dxl2, dyl2, dxr2, dyr2 = dxl, dyl, dxr, dyr
         conflict2, idx2_f, neyef2 = conflictf, idx_f, neyef
+        tie2 = (S1,) + tuple(tie1)
 
     # ---- stage 2: angle-consistency H (trig-free)
     # the three tests reduce to rotations of v_i = lori_i - rori_i (a
@@ -267,7 +285,8 @@ def _filter_body(val, lx, ly, lc, ls, rx, ry, rc, rs, li, ri, vf,
     bad2f = jnp.minimum(conflict2
                         + (H2f < 0.5).astype(jnp.float32), 1.0) * neyef2[None]
     elig2 = sel1b & (S2 >= 1e-3)
-    sel2 = _greedy_rounds(S2, _blockers(S2, bad2f, elig2, idx2_f), elig2)
+    sel2 = _greedy_rounds(S2, _blockers(S2, bad2f, elig2, idx2_f,
+                                        tie_keys=tie2), elig2)
 
     return jnp.sum(jnp.where(sel2, val2, 0.0), axis=1)
 
@@ -659,11 +678,14 @@ def _make_minutiae_match_kernel(K: int, tile_b: int, P: int, R: int,
             strictP, block_rowsT, ent_mat)
 
         # (li, ri, valid) packed into one exact-f32 payload: one 3D
-        # reduction instead of three (pass 2 dominates the preamble)
-        packed2 = 1.0 + cand_p_rows * 128.0 + candr2            # [rows, P]
+        # reduction instead of three (pass 2 dominates the preamble).
+        # Radix R keeps the code exact in f32 for any P*R < 2^24 (the
+        # spec caps are P<=2000, R<=1000 — matcher.h:31-32)
+        radix = float(R)
+        packed2 = 1.0 + cand_p_rows * radix + candr2            # [rows, P]
 
         # ---- pass 2: slot scatter + coordinate gathers + graph filter
-        gls, grs, vals, lis, ris, vfs = [], [], [], [], [], []
+        gls, grs, vals, normvs, lis, ris, vfs = [], [], [], [], [], [], []
         for s in range(tile_b):
             a = s * row_cap
             sel = sel2[a:a + row_cap]                           # [cap, P]
@@ -672,11 +694,16 @@ def _make_minutiae_match_kernel(K: int, tile_b: int, P: int, R: int,
                 .astype(jnp.float32) * sel[None]                # [K, cap, P]
             val = jnp.sum(jnp.sum(ind * cands2[a:a + row_cap][None],
                                   axis=2), axis=1)
+            # the normalized value rides along as a greedy tie key: the
+            # spec's candidate-list order is (norm desc, flat index asc),
+            # but this kernel's slot order is bisect-rank order
+            normv = jnp.sum(jnp.sum(ind * candv2[a:a + row_cap][None],
+                                    axis=2), axis=1)
             code = jnp.sum(jnp.sum(ind * packed2[a:a + row_cap][None],
                                    axis=2), axis=1)             # [K]
             vf = (code > 0.5).astype(jnp.float32)
-            li = jnp.floor((code - vf) / 128.0)                 # 0 when vf=0
-            ri = code - vf - li * 128.0
+            li = jnp.floor((code - vf) / radix)                 # 0 when vf=0
+            ri = code - vf - li * radix
 
             oh_lT = (iota_pk == li[None, :]).astype(jnp.float32)
             oh_rT = (iota_rk == ri[None, :]).astype(jnp.float32)
@@ -685,17 +712,23 @@ def _make_minutiae_match_kernel(K: int, tile_b: int, P: int, R: int,
             grs.append(jnp.dot(rpackT_ref[s], oh_rT,
                                preferred_element_type=jnp.float32))
             vals.append(val)
+            normvs.append(normv)
             lis.append(li)
             ris.append(ri)
             vfs.append(vf)
 
         gl = jnp.stack(gls)                                     # [tb, 4, K]
         gr = jnp.stack(grs)
+        li_all = jnp.stack(lis)
+        ri_all = jnp.stack(ris)
+        # spec flat-candidate index li*R + ri, negated (larger-wins chain)
+        neg_flat = -(li_all * float(R) + ri_all)
         score = _filter_body(jnp.stack(vals), gl[:, 0], gl[:, 1], gl[:, 2],
                              gl[:, 3], gr[:, 0], gr[:, 1], gr[:, 2],
-                             gr[:, 3], jnp.stack(lis), jnp.stack(ris),
+                             gr[:, 3], li_all, ri_all,
                              jnp.stack(vfs), lookup, dist_iters, K,
-                             stage2_cap=stage2_cap)
+                             stage2_cap=stage2_cap,
+                             tie1=(jnp.stack(normvs), neg_flat))
         score_ref[...] = score[:, None]
 
     return kernel
@@ -821,10 +854,18 @@ def _make_texture_match_kernel(K: int, tile_b: int, Lt: int, R: int,
 
         gl = jnp.stack(gls)
         gr = jnp.stack(grs)
-        score = _filter_body(jnp.stack(vals), gl[:, 0], gl[:, 1], gl[:, 2],
+        # spec candidate-list order (matcher.cpp:736-749): latent-row order
+        # when <= 200 rows survive (== this kernel's slot order — fallback
+        # ascending index suffices), value-sorted when more. K equals
+        # TOPN_TEX_CORR whenever Lt > TOPN, so (n_valid > K) is exactly the
+        # spec's sort condition.
+        usef = (jnp.sum(lvalid) > float(K)).astype(jnp.float32)
+        val_all = jnp.stack(vals)
+        score = _filter_body(val_all, gl[:, 0], gl[:, 1], gl[:, 2],
                              gl[:, 3], gr[:, 0], gr[:, 1], gr[:, 2],
                              gr[:, 3], jnp.stack(lis), jnp.stack(ris),
-                             jnp.stack(vfs), lookup, dist_iters, K)
+                             jnp.stack(vfs), lookup, dist_iters, K,
+                             tie1=(val_all * usef,))
         score_ref[...] = score[:, None]
 
     return kernel
