@@ -28,18 +28,34 @@ _COS_PI_6 = float(np.cos(np.pi / 6))
 
 def _adc_rowmax_kernel(x_ref, lsq_ref, dect_ref, rsq_ref, tvalid_ref,
                        best_ref, bestj_ref):
-    # x: [Lt, D] (one latent); dect: [D, Rt] (one gallery entry, transposed)
-    # lsq: [1, Lt]; rsq / tvalid: [1, Rt]; outputs: [1, Lt]
-    x = x_ref[...]
+    # x: [C, Lt, D] (a chunk of C latents — batching the latent axis turns
+    # C tiny [Lt, D] x [D, Rt] matmuls into one [C*Lt, D] x [D, Rt] GEMM;
+    # the per-latent variant ran the MXU at ~10% utilization);
+    # dect: [D, Rt] (one gallery entry, transposed); lsq: [C, Lt];
+    # rsq / tvalid: [1, Rt]; outputs: [C, Lt].
+    C, Lt, D = x_ref.shape
+    x = x_ref[...].reshape(C * Lt, D)
     dect = dect_ref[...]
     if dect.dtype != x.dtype:        # int8-stored gallery: cast in VMEM
         dect = dect.astype(x.dtype)
-    dots = jnp.dot(x, dect, preferred_element_type=jnp.float32)   # [Lt, Rt]
-    simi = 2.0 * dots + (6.0 - lsq_ref[0, :][:, None] - rsq_ref[0, :][None, :])
+    dots = jnp.dot(x, dect, preferred_element_type=jnp.float32)  # [CLt, Rt]
+    lsq = lsq_ref[...].reshape(C * Lt)
+    simi = 2.0 * dots + (6.0 - lsq[:, None] - rsq_ref[0, :][None, :])
     # invalid rolled minutiae drop out of the row max
     simi = simi + (tvalid_ref[0, :][None, :] - 1.0) * (-NEG_BIG)
-    best_ref[0, :] = jnp.max(simi, axis=1)
-    bestj_ref[0, :] = jnp.argmax(simi, axis=1).astype(jnp.int32)
+    best_ref[...] = jnp.max(simi, axis=1).reshape(C, Lt)
+    bestj_ref[...] = jnp.argmax(simi, axis=1).astype(jnp.int32).reshape(C, Lt)
+
+
+def _adc_latent_chunk(NL: int, Lt: int, Rt: int,
+                      budget_bytes: int = 6_000_000) -> int:
+    """Largest divisor of NL whose [C*Lt, Rt] f32 similarity block fits the
+    VMEM budget."""
+    cap = max(1, budget_bytes // max(Lt * Rt * 4, 1))
+    c = min(NL, cap)
+    while NL % c:
+        c -= 1
+    return c
 
 
 def _greedy_rounds(S, blockers, eligible):
@@ -110,7 +126,7 @@ def _blockers(S, badf, eligible, idx_f, tie_keys=()):
 
 def _filter_body(val, lx, ly, lc, ls, rx, ry, rc, rs, li, ri, vf,
                  lookup: bool, dist_iters: int, K: int, stages: int = 6,
-                 stage2_cap: int = 0, tie1=()):
+                 stage2_cap: int = 0, tie1=(), dist_kk=None):
     """Shared straight-line filter body over a [T, K] tile of correspondence
     sets: distance H + power iterations + greedy rounds + angle H + power +
     greedy. Returns the per-set filtered scores [T].
@@ -145,23 +161,33 @@ def _filter_body(val, lx, ly, lc, ls, rx, ry, rc, rs, li, ri, vf,
     neyef = 1.0 - eyef                                    # [K, K]
 
     # ---- stage 1: distance-consistency H
-    dxl = lx[:, :, None] - lx[:, None, :]
-    dyl = ly[:, :, None] - ly[:, None, :]
-    dxr = rx[:, :, None] - rx[:, None, :]
-    dyr = ry[:, :, None] - ry[:, None, :]
-    if lookup:
-        adxl, adyl = jnp.abs(dxl), jnp.abs(dyl)
-        adxr, adyr = jnp.abs(dxr), jnp.abs(dyr)
-        in_rangef = ((adxl < lut_n) & (adyl < lut_n)
-                     & (adxr < lut_n) & (adyr < lut_n)) \
-            .astype(jnp.float32)
-        d1 = 16.0 * jnp.sqrt(adxl * adxl + adyl * adyl)
-        d2 = 16.0 * jnp.sqrt(adxr * adxr + adyr * adyr)
-    else:
+    if dist_kk is not None:
+        # |d1 - d2| arrives precomputed from per-side pairwise distance
+        # tables gathered through the one-hot MXU matmuls (the slot-based
+        # [T, K, K] coordinate-difference build was the most expensive VPU
+        # stage of the filter). Stage 2 then requires compaction, which
+        # rebuilds pairwise coordinates from the compacted slot vectors.
+        assert not lookup and 0 < stage2_cap < K
         in_rangef = None
-        d1 = jnp.sqrt(dxl * dxl + dyl * dyl)
-        d2 = jnp.sqrt(dxr * dxr + dyr * dyr)
-    dist = jnp.abs(d1 - d2)
+        dist = dist_kk
+    else:
+        dxl = lx[:, :, None] - lx[:, None, :]
+        dyl = ly[:, :, None] - ly[:, None, :]
+        dxr = rx[:, :, None] - rx[:, None, :]
+        dyr = ry[:, :, None] - ry[:, None, :]
+        if lookup:
+            adxl, adyl = jnp.abs(dxl), jnp.abs(dyl)
+            adxr, adyr = jnp.abs(dxr), jnp.abs(dyr)
+            in_rangef = ((adxl < lut_n) & (adyl < lut_n)
+                         & (adxr < lut_n) & (adyr < lut_n)) \
+                .astype(jnp.float32)
+            d1 = 16.0 * jnp.sqrt(adxl * adxl + adyl * adyl)
+            d2 = 16.0 * jnp.sqrt(adxr * adxr + adyr * adyr)
+        else:
+            in_rangef = None
+            d1 = jnp.sqrt(dxl * dxl + dyl * dyl)
+            d2 = jnp.sqrt(dxr * dxr + dyr * dyr)
+        dist = jnp.abs(d1 - d2)
     # the reference's dist <= d_thr (30 px) gate is subsumed by the clip:
     # (30 - dist)/25 clamps to exactly 0 for dist >= 30
     H1 = jnp.clip((30.0 - dist) / 25.0, 0.0, 1.0)
@@ -582,11 +608,13 @@ def _block_mats(rows: int, group: int):
 def _make_minutiae_match_kernel(K: int, tile_b: int, P: int, R: int,
                                 row_cap: int, lookup: bool, dist_iters: int,
                                 bisect_iters: int = 30):
-    # stage-2 compaction to P slots is exact here (survivors have distinct
-    # li) but measured break-even on v5e: the ~5 ms/block saved in the
-    # angle stage is repaid in relayouts + one-hot compaction matmuls.
-    # Kept available via _filter_body(stage2_cap=) for other shapes.
-    stage2_cap = 0
+    # Stage-2 compaction to min(P, R) slots is exact: greedy-1 survivors
+    # are one-to-one in BOTH li and ri (shared minutiae block), so no set
+    # keeps more than min(P, R) correspondences. With the distance-table
+    # H1 build below it is also required (stage 2 rebuilds pairwise
+    # coordinates from the compacted slot vectors).
+    stage2_cap = min(P, R, K)
+    use_tables = 0 < stage2_cap < K and not lookup
     """End-to-end minutiae-template scoring kernel.
 
     Per (latent template, gallery entry) pair, entirely in VMEM:
@@ -605,10 +633,31 @@ def _make_minutiae_match_kernel(K: int, tile_b: int, P: int, R: int,
     SENT = -3.0          # below any normalized similarity; marks invalid
 
     def kernel(ldes_ref, lvalid_ref, rdes_ref, rvalid_ref, lpackT_ref,
-               rpackT_ref, score_ref):
+               rpackT_ref, score_ref, *scratch):
         ldes = ldes_ref[...]                                    # [P, D]
         lvalid = lvalid_ref[...]                                # [P, 1]
         lpackT = lpackT_ref[...]                                # [4, P]
+        if use_tables:
+            # pairwise distance tables: latent [P, P] per invocation,
+            # rolled [tile_b, R, R] in scratch built once per gallery tile
+            # (the grid is gallery-outer, template-inner, so the rolled
+            # side is reused across all NT latent templates). H1's
+            # [K, K] distances then come from one-hot MXU gathers instead
+            # of the slot-coordinate VPU build (the filter's top cost).
+            drol_ref = scratch[0]
+
+            def pair_dist(x, y):
+                dx = x[:, None] - x[None, :]
+                dy = y[:, None] - y[None, :]
+                return jnp.sqrt(dx * dx + dy * dy)
+
+            dlat = pair_dist(lpackT[0], lpackT[1])              # [P, P]
+
+            @pl.when(pl.program_id(1) == 0)
+            def _build_drol():
+                for s in range(tile_b):
+                    drol_ref[s] = pair_dist(rpackT_ref[s, 0],
+                                            rpackT_ref[s, 1])
         strictP = _strict_lt(P, P)
         rows = tile_b * row_cap
         block_rowsT, ent_mat = _block_mats(rows, row_cap)
@@ -686,6 +735,7 @@ def _make_minutiae_match_kernel(K: int, tile_b: int, P: int, R: int,
 
         # ---- pass 2: slot scatter + coordinate gathers + graph filter
         gls, grs, vals, normvs, lis, ris, vfs = [], [], [], [], [], [], []
+        dists = []
         for s in range(tile_b):
             a = s * row_cap
             sel = sel2[a:a + row_cap]                           # [cap, P]
@@ -711,6 +761,19 @@ def _make_minutiae_match_kernel(K: int, tile_b: int, P: int, R: int,
                                preferred_element_type=jnp.float32))
             grs.append(jnp.dot(rpackT_ref[s], oh_rT,
                                preferred_element_type=jnp.float32))
+            if use_tables:
+                # d[a, b] = D[idx_a, idx_b] = (oh^T D oh)[a, b]; one-hot
+                # f32 matmuls are exact (single nonzero per column), so
+                # the gathered distances are bitwise the table entries
+                dim0 = (((0,), (0,)), ((), ()))
+                d1 = jax.lax.dot_general(
+                    jnp.dot(dlat, oh_lT, preferred_element_type=jnp.float32),
+                    oh_lT, dim0, preferred_element_type=jnp.float32)
+                d2 = jax.lax.dot_general(
+                    jnp.dot(drol_ref[s], oh_rT,
+                            preferred_element_type=jnp.float32),
+                    oh_rT, dim0, preferred_element_type=jnp.float32)
+                dists.append(jnp.abs(d1 - d2))
             vals.append(val)
             normvs.append(normv)
             lis.append(li)
@@ -727,8 +790,9 @@ def _make_minutiae_match_kernel(K: int, tile_b: int, P: int, R: int,
                              gl[:, 3], gr[:, 0], gr[:, 1], gr[:, 2],
                              gr[:, 3], li_all, ri_all,
                              jnp.stack(vfs), lookup, dist_iters, K,
-                             stage2_cap=stage2_cap,
-                             tie1=(jnp.stack(normvs), neg_flat))
+                             stage2_cap=stage2_cap if use_tables else 0,
+                             tie1=(jnp.stack(normvs), neg_flat),
+                             dist_kk=jnp.stack(dists) if use_tables else None)
         score_ref[...] = score[:, None]
 
     return kernel
@@ -772,6 +836,7 @@ def fused_minutiae_match(lat_des, lat_validf, rol_des_t, rol_validf,
 
     kernel = _make_minutiae_match_kernel(K, tile_b, P, R, row_cap, lookup,
                                          dist_iters)
+    use_tables = 0 < min(P, R, K) < K and not lookup
     out = pl.pallas_call(
         kernel,
         # gallery-outer grid order: the rolled descriptor tile is fetched
@@ -787,6 +852,8 @@ def fused_minutiae_match(lat_des, lat_validf, rol_des_t, rol_validf,
         ],
         out_specs=pl.BlockSpec((None, tile_b, 1), lambda b, t: (t, b, 0)),
         out_shape=jax.ShapeDtypeStruct((NT, B, 1), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tile_b, R, R), jnp.float32)]
+        if use_tables else [],
         interpret=interpret,
     )(lat_des, lat_validf.reshape(NT, P, 1), rol_des_t,
       rol_validf.reshape(B, 1, R), lpackT, rpackT)
@@ -916,11 +983,12 @@ def fused_texture_match(best, bestj, lat_validf, lpackT, rpackT,
 def _adc_rowmax_codes_kernel(n_clusters: int):
     def kernel(x_ref, lsq_ref, codes_ref, tdec_ref, rsq_ref, tvalid_ref,
                best_ref, bestj_ref, dect_ref):
-        # x: [Lt, D] (latent n); codes: [S, Rt] u8 (gallery entry b);
+        # x: [Ch, Lt, D] (a chunk of latents — see _adc_rowmax_kernel);
+        # codes: [S, Rt] u8 (gallery entry b);
         # tdec: [D, S*C] transposed block-diagonal decode tensor;
         # dect_ref: [D, Rt] VMEM scratch holding the decoded entry, built
-        # once per gallery entry (grid is (B, NL) with NL innermost) and
-        # reused by every latent in the batch.
+        # once per gallery entry (grid is (B, chunks) with chunks innermost)
+        # and reused by every latent chunk.
         C = n_clusters
 
         @pl.when(pl.program_id(1) == 0)
@@ -939,14 +1007,16 @@ def _adc_rowmax_codes_kernel(n_clusters: int):
                                preferred_element_type=jnp.float32)
             dect_ref[...] = acc.astype(dect_ref.dtype)
 
-        x = x_ref[...]
+        Ch, Lt, D = x_ref.shape
+        x = x_ref[...].reshape(Ch * Lt, D)
         dots = jnp.dot(x, dect_ref[...].astype(x.dtype),
-                       preferred_element_type=jnp.float32)    # [Lt, Rt]
-        simi = 2.0 * dots + (6.0 - lsq_ref[0, :][:, None]
-                             - rsq_ref[0, :][None, :])
+                       preferred_element_type=jnp.float32)    # [ChLt, Rt]
+        lsq = lsq_ref[...].reshape(Ch * Lt)
+        simi = 2.0 * dots + (6.0 - lsq[:, None] - rsq_ref[0, :][None, :])
         simi = simi + (tvalid_ref[0, :][None, :] - 1.0) * (-NEG_BIG)
-        best_ref[0, :] = jnp.max(simi, axis=1)
-        bestj_ref[0, :] = jnp.argmax(simi, axis=1).astype(jnp.int32)
+        best_ref[...] = jnp.max(simi, axis=1).reshape(Ch, Lt)
+        bestj_ref[...] = jnp.argmax(simi, axis=1).astype(jnp.int32) \
+            .reshape(Ch, Lt)
 
     return kernel
 
@@ -970,33 +1040,33 @@ def fused_adc_rowmax_codes(x: jnp.ndarray, lat_sqnorm: jnp.ndarray,
     """
     NL, Lt, D = x.shape
     B, S, Rt = codes_t.shape
-    lsq = lat_sqnorm.reshape(NL, 1, Lt)
     rsq = rol_sqnorm.reshape(B, 1, Rt)
     tva = rol_valid.astype(jnp.float32).reshape(B, 1, Rt)
+    C = _adc_latent_chunk(NL, Lt, Rt)
 
     best, bestj = pl.pallas_call(
         _adc_rowmax_codes_kernel(n_clusters),
-        grid=(B, NL),
+        grid=(B, NL // C),
         in_specs=[
-            pl.BlockSpec((None, Lt, D), lambda b, n: (n, 0, 0)),
-            pl.BlockSpec((None, 1, Lt), lambda b, n: (n, 0, 0)),
-            pl.BlockSpec((None, S, Rt), lambda b, n: (b, 0, 0)),
-            pl.BlockSpec((D, S * n_clusters), lambda b, n: (0, 0)),
-            pl.BlockSpec((None, 1, Rt), lambda b, n: (b, 0, 0)),
-            pl.BlockSpec((None, 1, Rt), lambda b, n: (b, 0, 0)),
+            pl.BlockSpec((C, Lt, D), lambda b, c: (c, 0, 0)),
+            pl.BlockSpec((C, Lt), lambda b, c: (c, 0)),
+            pl.BlockSpec((None, S, Rt), lambda b, c: (b, 0, 0)),
+            pl.BlockSpec((D, S * n_clusters), lambda b, c: (0, 0)),
+            pl.BlockSpec((None, 1, Rt), lambda b, c: (b, 0, 0)),
+            pl.BlockSpec((None, 1, Rt), lambda b, c: (b, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((None, None, 1, Lt), lambda b, n: (n, b, 0, 0)),
-            pl.BlockSpec((None, None, 1, Lt), lambda b, n: (n, b, 0, 0)),
+            pl.BlockSpec((C, None, Lt), lambda b, c: (c, b, 0)),
+            pl.BlockSpec((C, None, Lt), lambda b, c: (c, b, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((NL, B, 1, Lt), jnp.float32),
-            jax.ShapeDtypeStruct((NL, B, 1, Lt), jnp.int32),
+            jax.ShapeDtypeStruct((NL, B, Lt), jnp.float32),
+            jax.ShapeDtypeStruct((NL, B, Lt), jnp.int32),
         ],
         scratch_shapes=[pltpu.VMEM((D, Rt), x.dtype)],
         interpret=interpret,
-    )(x, lsq, codes_t, tdec, rsq, tva)
-    return best[:, :, 0, :], bestj[:, :, 0, :]
+    )(x, lat_sqnorm, codes_t, tdec, rsq, tva)
+    return best, bestj
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -1015,28 +1085,31 @@ def fused_adc_rowmax(x: jnp.ndarray, lat_sqnorm: jnp.ndarray,
     NL, Lt, D = x.shape
     B, D2, Rt = dect.shape
     assert D == D2
-    lsq = lat_sqnorm.reshape(NL, 1, Lt)
     rsq = rol_sqnorm.reshape(B, 1, Rt)
     tva = rol_valid.astype(jnp.float32).reshape(B, 1, Rt)
+    C = _adc_latent_chunk(NL, Lt, Rt)
 
+    # gallery-outer grid: the decoded entry is fetched once per b and
+    # reused across the latent chunks (the chunk block index is unchanged
+    # between consecutive steps, so Mosaic skips the refetch)
     best, bestj = pl.pallas_call(
         _adc_rowmax_kernel,
-        grid=(NL, B),
+        grid=(B, NL // C),
         in_specs=[
-            pl.BlockSpec((None, Lt, D), lambda n, b: (n, 0, 0)),
-            pl.BlockSpec((None, 1, Lt), lambda n, b: (n, 0, 0)),
-            pl.BlockSpec((None, D, Rt), lambda n, b: (b, 0, 0)),
-            pl.BlockSpec((None, 1, Rt), lambda n, b: (b, 0, 0)),
-            pl.BlockSpec((None, 1, Rt), lambda n, b: (b, 0, 0)),
+            pl.BlockSpec((C, Lt, D), lambda b, c: (c, 0, 0)),
+            pl.BlockSpec((C, Lt), lambda b, c: (c, 0)),
+            pl.BlockSpec((None, D, Rt), lambda b, c: (b, 0, 0)),
+            pl.BlockSpec((None, 1, Rt), lambda b, c: (b, 0, 0)),
+            pl.BlockSpec((None, 1, Rt), lambda b, c: (b, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((None, None, 1, Lt), lambda n, b: (n, b, 0, 0)),
-            pl.BlockSpec((None, None, 1, Lt), lambda n, b: (n, b, 0, 0)),
+            pl.BlockSpec((C, None, Lt), lambda b, c: (c, b, 0)),
+            pl.BlockSpec((C, None, Lt), lambda b, c: (c, b, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((NL, B, 1, Lt), jnp.float32),
-            jax.ShapeDtypeStruct((NL, B, 1, Lt), jnp.int32),
+            jax.ShapeDtypeStruct((NL, B, Lt), jnp.float32),
+            jax.ShapeDtypeStruct((NL, B, Lt), jnp.int32),
         ],
         interpret=interpret,
-    )(x, lsq, dect, rsq, tva)
-    return best[:, :, 0, :], bestj[:, :, 0, :]
+    )(x, lat_sqnorm, dect, rsq, tva)
+    return best, bestj

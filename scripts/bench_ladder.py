@@ -1,0 +1,189 @@
+#!/usr/bin/env python
+"""BASELINE.md config-ladder benchmarks on the real chip.
+
+Entries (select with LADDER=a,b,c env; default all):
+  spec100k  - 100K-entry PQ gallery at reference-cap shapes
+              (Lt=Rt=1000 virtual minutiae, matcher.h:31-32; codes-resident
+              texture so HBM holds u8 codes) — the honest headline shape.
+  rolled1k  - config 2: 1K rolled gallery matched symmetrically (every
+              rolled print as the query, minutiae path) -> pairs/s.
+  scale     - config 5 stand-in: gallery-sharded match on a 1/2/4/8-device
+              VIRTUAL CPU mesh; reports parallel efficiency of the
+              shard_map path (the ratio, not the absolute CPU speed).
+
+Writes one JSON object per line to stdout and the full dict to
+BENCH_LADDER_r02.json. Run alone (single TPU tunnel).
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CODEBOOK = "/root/reference/matching/codebook_EmbeddingSize_96_stride_16_subdim_6.dat"
+OUT = os.path.join(REPO, "BENCH_LADDER_r02.json")
+
+
+def _sync(r):
+    return float(np.asarray(r).reshape(-1)[:4].astype(np.float64).sum())
+
+
+def bench_spec100k(results):
+    import jax.numpy as jnp
+    from msu_latentafis_tpu.matcher.engine import DeviceGallery, MatchEngine
+    from msu_latentafis_tpu.templates import read_codebook
+    from msu_latentafis_tpu.templates.packing import pack_latent
+    from msu_latentafis_tpu.utils.synthetic import (make_latent_template,
+                                                    synthetic_packed_gallery)
+
+    G = int(os.environ.get("SPEC_GALLERY", "100000"))
+    NL = int(os.environ.get("SPEC_LATENTS", "4"))
+    RM, RT, LM, LT = 128, 1000, 128, 1000
+    BLOCK = int(os.environ.get("SPEC_BLOCK", "256"))
+    cb = read_codebook(CODEBOOK)
+    engine = MatchEngine(cb, block_size=BLOCK, compute_dtype=jnp.bfloat16,
+                         codes_resident=True, minu_int8=True)
+    rng = np.random.default_rng(3)
+    packed = synthetic_packed_gallery(rng, cb, G=G, n_minu=RM, n_tex=RT)
+    gal = engine.load_gallery(packed)
+    del packed
+    lats = [pack_latent(make_latent_template(rng, n_minu=LM, n_tex=LT),
+                        quantize_tex_xy=False, minu_cap=LM, tex_cap=LT)
+            for _ in range(2 * NL)]
+    r = engine.match_scores_batch(lats[:NL], gal)   # compile + warm
+    _sync(r[:, :4])
+    t0 = time.time()
+    r = engine.match_scores_batch(lats[NL:], gal)
+    _sync(r[:, :4])
+    dt = time.time() - t0
+    results["spec100k"] = {
+        "metric": f"latents/s vs {G} gallery at cap shapes "
+                  f"Lm={LM},Lt={LT},Rm={RM},Rt={RT}",
+        "latents_per_s": round(NL / dt, 4), "seconds": round(dt, 2),
+        "n_latents": NL}
+    print(json.dumps({"spec100k": results["spec100k"]}), flush=True)
+
+
+def bench_rolled1k(results):
+    """Config 2: symmetric rolled-vs-rolled identification (each rolled
+    print's single minutiae template queries the whole 1K gallery)."""
+    import jax.numpy as jnp
+    from msu_latentafis_tpu.matcher.engine import MatchEngine
+    from msu_latentafis_tpu.templates import read_codebook
+    from msu_latentafis_tpu.templates.packing import PackedLatent
+    from msu_latentafis_tpu.utils.synthetic import synthetic_packed_gallery
+
+    G = int(os.environ.get("ROLLED_GALLERY", "1000"))
+    RM, RT = 96, 448
+    cb = read_codebook(CODEBOOK)
+    engine = MatchEngine(cb, block_size=256, compute_dtype=jnp.bfloat16,
+                         tex_int8=True)
+    rng = np.random.default_rng(5)
+    packed = synthetic_packed_gallery(rng, cb, G=G, n_minu=RM, n_tex=RT)
+    gal = engine.load_gallery(packed)
+
+    # queries: the rolled minutiae templates themselves (T=1), texture
+    # descriptors reconstructed from their PQ codes
+    dec = np.asarray(engine._decode_all_fn(1, 8, RT, 16)(
+        jnp.asarray(packed.tex_codes[:8].reshape(8, -1))))  # [8, D, RT]
+    if dec.dtype == np.int8:
+        dec = dec.astype(np.float32) * engine._tex_scale_g
+    queries = []
+    for i in range(8):
+        queries.append(PackedLatent(
+            minu_des=packed.minu_des[i][None].astype(np.float32),
+            minu_xy=packed.minu_xy[i][None], minu_ori=packed.minu_ori[i][None],
+            minu_n=packed.minu_n[i][None],
+            tex_des=np.swapaxes(dec[i], 0, 1).astype(np.float32),
+            tex_xy=packed.tex_xy[i], tex_ori=packed.tex_ori[i],
+            tex_n=packed.tex_n[i]))
+    r = engine.match_scores_batch(queries[:4], gal)
+    _sync(r[:, :4])
+    t0 = time.time()
+    r = engine.match_scores_batch(queries[4:], gal)
+    s = np.asarray(r)
+    _sync(r[:, :4])
+    dt = time.time() - t0
+    # self-match sanity: query i should hit gallery entry i at rank 1
+    hits = sum(int(np.argmax(s[k, :G])) == 4 + k for k in range(4))
+    results["rolled1k"] = {
+        "metric": f"rolled queries/s vs {G} rolled gallery (symmetric N:N)",
+        "queries_per_s": round(4 / dt, 3), "pairs_per_s": round(4 * G / dt, 1),
+        "self_rank1_hits": f"{hits}/4"}
+    print(json.dumps({"rolled1k": results["rolled1k"]}), flush=True)
+
+
+def bench_scale(results):
+    """Config-5 stand-in: shard_map scaling efficiency on the virtual CPU
+    mesh (hardware has 1 chip; the sharded path itself is what's measured)."""
+    import subprocess
+    script = r"""
+import os, time, json
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+import sys
+sys.path.insert(0, %r)
+from msu_latentafis_tpu.matcher.engine import MatchEngine
+from msu_latentafis_tpu.parallel import make_mesh, shard_gallery, match_sharded
+from msu_latentafis_tpu.templates import read_codebook
+from msu_latentafis_tpu.templates.packing import pack_latent
+from msu_latentafis_tpu.utils.synthetic import (make_latent_template,
+                                                synthetic_packed_gallery)
+cb = read_codebook(%r)
+rng = np.random.default_rng(9)
+G = 512
+packed = synthetic_packed_gallery(rng, cb, G=G, n_minu=32, n_tex=64)
+lat = pack_latent(make_latent_template(rng, n_minu=24, n_tex=48),
+                  quantize_tex_xy=False, minu_cap=32, tex_cap=64)
+out = {}
+for n in (1, 2, 4, 8):
+    engine = MatchEngine(cb, block_size=32)
+    mesh = make_mesh(n_gallery=n, devices=jax.devices()[:n])
+    gal = shard_gallery(engine, packed, mesh)
+    s = match_sharded(engine, lat, gal, mesh)
+    float(np.asarray(s)[:4].sum())
+    t0 = time.time()
+    for _ in range(3):
+        s = match_sharded(engine, lat, gal, mesh)
+        float(np.asarray(s)[:4].sum())
+    out[n] = (time.time() - t0) / 3
+print("RESULT " + json.dumps(out))
+""" % (REPO, CODEBOOK)
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    p = subprocess.run([sys.executable, "-c", script], capture_output=True,
+                       text=True, env=env, timeout=1800)
+    line = [l for l in p.stdout.splitlines() if l.startswith("RESULT ")]
+    assert line, (p.stdout, p.stderr[-2000:])
+    times = {int(k): v for k, v in json.loads(line[0][7:]).items()}
+    eff = {n: round(times[1] / (n * times[n]), 3) for n in times}
+    results["scale_virtual8"] = {
+        "metric": "shard_map parallel efficiency, virtual CPU mesh "
+                  "(config-5 stand-in; 1 real chip available)",
+        "seconds_per_match": {str(n): round(t, 4) for n, t in times.items()},
+        "efficiency_vs_1dev": {str(n): eff[n] for n in sorted(eff)}}
+    print(json.dumps({"scale_virtual8": results["scale_virtual8"]}), flush=True)
+
+
+def main():
+    from msu_latentafis_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    which = os.environ.get("LADDER", "spec100k,rolled1k,scale").split(",")
+    results = {}
+    if os.path.exists(OUT):
+        results = json.load(open(OUT))
+    for name in which:
+        {"spec100k": bench_spec100k, "rolled1k": bench_rolled1k,
+         "scale": bench_scale}[name](results)
+        with open(OUT, "w") as f:
+            json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

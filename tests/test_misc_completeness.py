@@ -23,6 +23,53 @@ def test_legacy_codec_roundtrip(rng, tmp_path):
                                   t.texture_template[0].des.astype(np.float32))
 
 
+def test_byte_and_tf_codec_roundtrip(rng, tmp_path):
+    """The two oldest formats (template.py:79-285 Byte and :287-497 TF):
+    u16 row quantization + mandatory mask vs f32 descriptors + optional
+    mask; both carry the latent texture distance-to-border column."""
+    from msu_latentafis_tpu.templates.legacy_codec import (
+        read_template_byte, read_template_tf, write_template_byte,
+        write_template_tf)
+    from msu_latentafis_tpu.utils.synthetic import make_latent_template
+
+    t = make_latent_template(rng, n_minu=7, n_tex=10, n_minu_templates=2)
+    # descriptors must be positive for the Byte rowmax quantization to
+    # round-trip direction (normalized-on-read semantics)
+    for i, mt in enumerate(t.minu_template):
+        mt.des = np.abs(mt.des) + 1e-3
+        mt.mask = np.zeros((mt.h, mt.w), np.uint8)    # blocky real-ish mask
+        mt.mask[40:300, 60 + i * 10:400] = 1
+    t.texture_template[0].des = np.abs(t.texture_template[0].des) + 1e-3
+    t.texture_template[0].minutiae[:, 3] = rng.random(10) * 100
+
+    p = str(tmp_path / "byte.dat")
+    write_template_byte(p, t, is_latent=True)
+    back = read_template_byte(p, is_latent=True)
+    assert len(back.minu_template) == 2
+    a, b = t.minu_template[1], back.minu_template[1]
+    np.testing.assert_array_equal(np.floor(a.minutiae[:, 0]),
+                                  b.minutiae[:, 0])
+    np.testing.assert_array_equal(a.mask, b.mask)        # RLE mask section
+    # u16 row quantization then L2 normalization ~ normalized original
+    norm = a.des / np.linalg.norm(a.des, axis=1, keepdims=True)
+    np.testing.assert_allclose(b.des[0], norm, atol=2e-4)
+    np.testing.assert_allclose(back.texture_template[0].minutiae[:, 3],
+                               t.texture_template[0].minutiae[:, 3],
+                               rtol=1e-6)
+
+    for save_mask in (True, False):
+        p = str(tmp_path / f"tf_{save_mask}.dat")
+        write_template_tf(p, t, is_latent=True, save_mask=save_mask)
+        back = read_template_tf(p, is_latent=True, with_mask=save_mask)
+        a, b = t.minu_template[0], back.minu_template[0]
+        np.testing.assert_allclose(b.minutiae[:, 3], a.minutiae[:, 3],
+                                   rtol=1e-6)            # reliability col
+        norm = a.des / np.linalg.norm(a.des, axis=1, keepdims=True)
+        np.testing.assert_allclose(b.des[0], norm, rtol=1e-5)
+        if save_mask:
+            np.testing.assert_array_equal(a.mask, b.mask)
+
+
 def test_classification_topk(rng):
     from msu_latentafis_tpu.evaluate.classification import topk_accuracy
     logits = rng.standard_normal((50, 10))
