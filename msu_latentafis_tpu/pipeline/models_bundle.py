@@ -135,7 +135,9 @@ class ModelBundle:
         for k, pt in enumerate(self.patch_types):
             patches = np.asarray(extract_patches(minutiae, img, patch_type=pt,
                                                  patch_size=patch_size))
-            x = patches[:, :, :, None].astype(np.float32)
+            # x/128-1: the nets train in this domain (training.pretrain /
+            # training.synthetic_data feed normalized patches)
+            x = patches[:, :, :, None].astype(np.float32) / 128.0 - 1.0
             n = len(x)
             pad = (-n) % batch_size
             if pad:

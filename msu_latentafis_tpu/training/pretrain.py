@@ -36,6 +36,23 @@ def _variables(state):
     return {"params": state.params, "batch_stats": state.batch_stats}
 
 
+def _pool_cache(name: str, builder):
+    """Host-side training pools are expensive on few cores; cache them as
+    .npz so data generation can run ahead of (or apart from) the TPU
+    training run. Set PRETRAIN_POOL_DIR to enable."""
+    root = os.environ.get("PRETRAIN_POOL_DIR", "")
+    if not root:
+        return builder()
+    os.makedirs(root, exist_ok=True)
+    path = os.path.join(root, name + ".npz")
+    if os.path.exists(path):
+        z = np.load(path)
+        return tuple(z[k] for k in sorted(z.files))
+    out = builder()
+    np.savez(path, **{f"a{i}": a for i, a in enumerate(out)})
+    return out
+
+
 def pretrain_minutiae(steps: int = 300, batch: int = 16, size: int = 128,
                       nf: int = 64, seed: int = 0, log_every: int = 50,
                       pool: int = 256, model: Optional[object] = None):
@@ -46,15 +63,19 @@ def pretrain_minutiae(steps: int = 300, batch: int = 16, size: int = 128,
     state = create_train_state(model, key, jnp.zeros((batch, size, size, 1)))
     step_fn = jax.jit(l2_train_step)
     print("generating minutiae training pool...", flush=True)
-    # mix of deployment input domains: STFT-enhanced (latent path),
-    # cartoon-texture (rolled path), and raw ridge imagery
-    domains = ["stft", "stft", "cartoon", "none"]
-    data = [synthetic_minutiae_sample(rng, size=size,
-                                      n_minutiae=int(rng.integers(4, 14)),
-                                      preprocess=domains[i % len(domains)])
-            for i in range(pool)]
-    xs_all = np.stack([d[0] for d in data]) / 128.0 - 1.0
-    ys_all = np.stack([d[1] for d in data])
+
+    def build():
+        # mix of deployment input domains: STFT-enhanced (latent path),
+        # cartoon-texture (rolled path), and raw ridge imagery
+        domains = ["stft", "stft", "cartoon", "none"]
+        data = [synthetic_minutiae_sample(rng, size=size,
+                                          n_minutiae=int(rng.integers(4, 14)),
+                                          preprocess=domains[i % len(domains)])
+                for i in range(pool)]
+        return (np.stack([d[0] for d in data]) / 128.0 - 1.0,
+                np.stack([d[1] for d in data]))
+
+    xs_all, ys_all = _pool_cache(f"minutiae{size}_{pool}_{seed}", build)
     for i in range(steps):
         idx = rng.integers(0, pool, batch)
         state, loss = step_fn(state, jnp.asarray(xs_all[idx]),
@@ -72,14 +93,19 @@ def pretrain_enhancement(steps: int = 300, batch: int = 16, size: int = 128,
     state = create_train_state(model, key, jnp.zeros((batch, size, size, 1)))
     step_fn = jax.jit(l2_train_step)
     print("generating enhancement training pool...", flush=True)
-    from ..ops.fft import stft_enhance
-    pool = 256
-    data = [synthetic_enhancement_sample(rng, size=size) for _ in range(pool)]
-    # inputs live in the STFT-enhanced domain (the pipeline feeds the AEC
-    # the STFT texture image); target is the clean ridge structure
-    raws = np.stack([np.asarray(stft_enhance(d[0][:, :, 0]), np.float32)[:, :, None]
-                     for d in data])
-    targets = np.stack([d[1] for d in data])
+
+    def build():
+        from ..ops.fft import stft_enhance
+        pool = 256
+        data = [synthetic_enhancement_sample(rng, size=size)
+                for _ in range(pool)]
+        # inputs live in the STFT-enhanced domain (the pipeline feeds the
+        # AEC the STFT texture image); target is the clean ridge structure
+        raws = np.stack([np.asarray(stft_enhance(d[0][:, :, 0]),
+                                    np.float32)[:, :, None] for d in data])
+        return raws, np.stack([d[1] for d in data])
+
+    raws, targets = _pool_cache(f"enhance{size}_{seed}", build)
     # host-side degradation: brightness/contrast jitter + box blur
     for i in range(steps):
         idx = rng.integers(0, pool, batch)
@@ -101,10 +127,17 @@ def pretrain_descriptor(steps: int = 200, seed: int = 0, log_every: int = 50):
     state = create_train_state(model, key, jnp.zeros((8, 96, 96, 1)))
     step_fn = jax.jit(triplet_train_step)
     print("generating descriptor training pool...", flush=True)
-    pool = [synthetic_descriptor_batch(rng, n_ids=8, samples_per_id=4)
-            for _ in range(32)]
+
+    def build():
+        data = [synthetic_descriptor_batch(rng, n_ids=8, samples_per_id=4)
+                for _ in range(32)]
+        return (np.stack([d[0] for d in data]),
+                np.stack([d[1] for d in data]))
+
+    xs, ys = _pool_cache(f"descriptor_{seed}", build)
     for i in range(steps):
-        x, y = pool[int(rng.integers(0, len(pool)))]
+        k = int(rng.integers(0, len(xs)))
+        x, y = xs[k], ys[k]
         state, loss = step_fn(state, jnp.asarray(x), jnp.asarray(y))
         if i % log_every == 0:
             print(f"descriptor step {i}: loss {float(loss):.3f}", flush=True)

@@ -35,7 +35,7 @@ def render_ridge_image(rng: np.random.Generator, h: int = 512, w: int = 512,
 
     Returns (image [h, w] float in [0, 255], ori_field [h//block, w//block]).
     """
-    blkH, blkW = h // block, w // block
+    blkH, blkW = -(-h // block), -(-w // block)   # ceil: cover any h, w
     ori = random_orientation_field(rng, blkH, blkW)
     from scipy.ndimage import zoom
     c = zoom(np.cos(2 * ori), block, order=1)[:h, :w]
@@ -121,14 +121,42 @@ def synthetic_enhancement_sample(rng: np.random.Generator, size: int = 128):
 
 def synthetic_descriptor_batch(rng: np.random.Generator, n_ids: int = 16,
                                samples_per_id: int = 4, size: int = 96):
-    """Labeled patch batch for triplet training: each identity is a ridge
-    patch; same-id samples differ by noise/brightness jitter."""
+    """Labeled patch batch for triplet training.
+
+    Each identity is a ridge patch; same-id samples differ by the nuisances
+    the matcher must survive: small translations (alignment error of the
+    detected minutia), small rotations (orientation estimate error — patches
+    are rotation-normalized by minutia ori before the net), brightness /
+    contrast / noise jitter, AND the enhancement domain: at match time the
+    latent's descriptors come from STFT/Gabor-enhanced images while the
+    rolled gallery's come from the raw print
+    (extraction_latent.py:175-181 vs extraction_rolled.py:95), so the
+    embedding must be stable across those domains for a mated pair to
+    produce high-similarity correspondences.
+    """
+    from scipy.ndimage import rotate
+
+    big = size + 24
     xs, ys = [], []
     for label in range(n_ids):
-        base, _ = render_ridge_image(rng, size, size,
+        base, _ = render_ridge_image(rng, big, big,
                                      spacing=float(rng.uniform(7, 11)))
-        for _ in range(samples_per_id):
-            j = base + rng.standard_normal(base.shape) * 10 + rng.uniform(-15, 15)
+        for k in range(samples_per_id):
+            j = base
+            ang = float(rng.uniform(-10, 10))
+            if abs(ang) > 0.5:
+                j = rotate(j, ang, reshape=False, mode="nearest", order=1)
+            dy, dx = rng.integers(0, 25, 2)
+            j = j[dy:dy + size, dx:dx + size].copy()
+            domain = rng.integers(0, 3)
+            if domain == 1:
+                from ..ops.fft import stft_enhance
+                j = np.asarray(stft_enhance(j), np.float64)
+            elif domain == 2:
+                from ..ops.fft import fast_cartoon_texture
+                j = np.asarray(fast_cartoon_texture(j), np.float64)
+            j = j * float(rng.uniform(0.7, 1.3)) + float(rng.uniform(-20, 20))
+            j = j + rng.standard_normal(j.shape) * float(rng.uniform(2, 12))
             xs.append(np.clip(j, 0, 255)[:, :, None])
             ys.append(label)
     x = np.stack(xs).astype(np.float32) / 128.0 - 1.0
