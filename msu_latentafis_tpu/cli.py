@@ -147,6 +147,7 @@ def cmd_match(args) -> int:
 
     latent_files = [args.latent] if args.latent else \
         sorted(glob.glob(os.path.join(args.ldir, "*.dat")))
+    todo = []                       # (name, template, packed)
     for lf in latent_files:
         name = os.path.splitext(os.path.basename(lf))[0]
         t = read_final_template(lf, kind="latent")
@@ -154,23 +155,34 @@ def cmd_match(args) -> int:
             with open(os.path.join(score_dir, name + ".csv"), "w") as f:
                 f.write("0\n")
             continue
-        packed = pack_latent(t, quantize_tex_xy=False)
+        todo.append((name, t, pack_latent(t, quantize_tex_xy=False)))
+
+    if args.latent and todo:
+        name, t, packed = todo[0]
         t0 = time.perf_counter()
         result = engine.one_to_list(packed, gallery)
         dt = (time.perf_counter() - t0) * 1000
         print(f"{name}: matched {gallery.n_real} in {dt:.1f} ms")
-        if args.latent:
-            write_rank_csv(os.path.join(score_dir, name + ".csv"), result)
-            print("Rank     Filename      Score")
-            for r, (n, s) in enumerate(result.ranked(24), 1):
-                print(f"{r:<8} {n:<12} {s:.3f}")
-            # correspondence files for the top-24 candidates
-            # (matcher.cpp:305-330)
-            for n, _ in result.ranked(24):
-                rolled = read_final_template(gallery_files[n], kind="rolled")
-                write_corr_files(t, rolled, engine.codebook,
-                                 os.path.join(score_dir, f"corr{name}_{n}"))
-        else:
+        write_rank_csv(os.path.join(score_dir, name + ".csv"), result)
+        print("Rank     Filename      Score")
+        for r, (n, s) in enumerate(result.ranked(24), 1):
+            print(f"{r:<8} {n:<12} {s:.3f}")
+        # correspondence files for the top-24 candidates
+        # (matcher.cpp:305-330)
+        for n, _ in result.ranked(24):
+            rolled = read_final_template(gallery_files[n], kind="rolled")
+            write_corr_files(t, rolled, engine.codebook,
+                             os.path.join(score_dir, f"corr{name}_{n}"))
+    elif todo:
+        # -ldir batch mode: heterogeneous latents are padded to shape
+        # buckets and matched in batches (O(#buckets) compiles, not
+        # O(#latents) — List2List_matching, matcher.cpp:96-214)
+        t0 = time.perf_counter()
+        results = engine.list_to_list([p for _, _, p in todo], gallery)
+        dt = time.perf_counter() - t0
+        print(f"Matched {len(todo)} latents x {gallery.n_real} gallery "
+              f"in {dt:.2f}s")
+        for (name, _, _), result in zip(todo, results):
             write_score_csv(os.path.join(score_dir, name + ".csv"), result)
     return 0
 

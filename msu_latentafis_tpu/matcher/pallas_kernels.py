@@ -39,12 +39,13 @@ def _adc_rowmax_kernel(x_ref, lsq_ref, dect_ref, rsq_ref, tvalid_ref,
     if dect.dtype != x.dtype:        # int8-stored gallery: cast in VMEM
         dect = dect.astype(x.dtype)
     dots = jnp.dot(x, dect, preferred_element_type=jnp.float32)  # [CLt, Rt]
-    lsq = lsq_ref[...].reshape(C * Lt)
+    lsq = lsq_ref[...].reshape(C * Lt)   # block [C, 1, Lt]
     simi = 2.0 * dots + (6.0 - lsq[:, None] - rsq_ref[0, :][None, :])
     # invalid rolled minutiae drop out of the row max
     simi = simi + (tvalid_ref[0, :][None, :] - 1.0) * (-NEG_BIG)
-    best_ref[...] = jnp.max(simi, axis=1).reshape(C, Lt)
-    bestj_ref[...] = jnp.argmax(simi, axis=1).astype(jnp.int32).reshape(C, Lt)
+    best_ref[...] = jnp.max(simi, axis=1).reshape(C, 1, Lt)
+    bestj_ref[...] = jnp.argmax(simi, axis=1).astype(jnp.int32) \
+        .reshape(C, 1, Lt)
 
 
 def _adc_latent_chunk(NL: int, Lt: int, Rt: int,
@@ -1011,12 +1012,12 @@ def _adc_rowmax_codes_kernel(n_clusters: int):
         x = x_ref[...].reshape(Ch * Lt, D)
         dots = jnp.dot(x, dect_ref[...].astype(x.dtype),
                        preferred_element_type=jnp.float32)    # [ChLt, Rt]
-        lsq = lsq_ref[...].reshape(Ch * Lt)
+        lsq = lsq_ref[...].reshape(Ch * Lt)   # block [Ch, 1, Lt]
         simi = 2.0 * dots + (6.0 - lsq[:, None] - rsq_ref[0, :][None, :])
         simi = simi + (tvalid_ref[0, :][None, :] - 1.0) * (-NEG_BIG)
-        best_ref[...] = jnp.max(simi, axis=1).reshape(Ch, Lt)
+        best_ref[...] = jnp.max(simi, axis=1).reshape(Ch, 1, Lt)
         bestj_ref[...] = jnp.argmax(simi, axis=1).astype(jnp.int32) \
-            .reshape(Ch, Lt)
+            .reshape(Ch, 1, Lt)
 
     return kernel
 
@@ -1049,24 +1050,24 @@ def fused_adc_rowmax_codes(x: jnp.ndarray, lat_sqnorm: jnp.ndarray,
         grid=(B, NL // C),
         in_specs=[
             pl.BlockSpec((C, Lt, D), lambda b, c: (c, 0, 0)),
-            pl.BlockSpec((C, Lt), lambda b, c: (c, 0)),
+            pl.BlockSpec((C, 1, Lt), lambda b, c: (c, 0, 0)),
             pl.BlockSpec((None, S, Rt), lambda b, c: (b, 0, 0)),
             pl.BlockSpec((D, S * n_clusters), lambda b, c: (0, 0)),
             pl.BlockSpec((None, 1, Rt), lambda b, c: (b, 0, 0)),
             pl.BlockSpec((None, 1, Rt), lambda b, c: (b, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((C, None, Lt), lambda b, c: (c, b, 0)),
-            pl.BlockSpec((C, None, Lt), lambda b, c: (c, b, 0)),
+            pl.BlockSpec((C, None, 1, Lt), lambda b, c: (c, b, 0, 0)),
+            pl.BlockSpec((C, None, 1, Lt), lambda b, c: (c, b, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((NL, B, Lt), jnp.float32),
-            jax.ShapeDtypeStruct((NL, B, Lt), jnp.int32),
+            jax.ShapeDtypeStruct((NL, B, 1, Lt), jnp.float32),
+            jax.ShapeDtypeStruct((NL, B, 1, Lt), jnp.int32),
         ],
         scratch_shapes=[pltpu.VMEM((D, Rt), x.dtype)],
         interpret=interpret,
-    )(x, lat_sqnorm, codes_t, tdec, rsq, tva)
-    return best, bestj
+    )(x, lat_sqnorm.reshape(NL, 1, Lt), codes_t, tdec, rsq, tva)
+    return best[:, :, 0, :], bestj[:, :, 0, :]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -1097,19 +1098,19 @@ def fused_adc_rowmax(x: jnp.ndarray, lat_sqnorm: jnp.ndarray,
         grid=(B, NL // C),
         in_specs=[
             pl.BlockSpec((C, Lt, D), lambda b, c: (c, 0, 0)),
-            pl.BlockSpec((C, Lt), lambda b, c: (c, 0)),
+            pl.BlockSpec((C, 1, Lt), lambda b, c: (c, 0, 0)),
             pl.BlockSpec((None, D, Rt), lambda b, c: (b, 0, 0)),
             pl.BlockSpec((None, 1, Rt), lambda b, c: (b, 0, 0)),
             pl.BlockSpec((None, 1, Rt), lambda b, c: (b, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((C, None, Lt), lambda b, c: (c, b, 0)),
-            pl.BlockSpec((C, None, Lt), lambda b, c: (c, b, 0)),
+            pl.BlockSpec((C, None, 1, Lt), lambda b, c: (c, b, 0, 0)),
+            pl.BlockSpec((C, None, 1, Lt), lambda b, c: (c, b, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((NL, B, Lt), jnp.float32),
-            jax.ShapeDtypeStruct((NL, B, Lt), jnp.int32),
+            jax.ShapeDtypeStruct((NL, B, 1, Lt), jnp.float32),
+            jax.ShapeDtypeStruct((NL, B, 1, Lt), jnp.int32),
         ],
         interpret=interpret,
-    )(x, lat_sqnorm, dect, rsq, tva)
-    return best, bestj
+    )(x, lat_sqnorm.reshape(NL, 1, Lt), dect, rsq, tva)
+    return best[:, :, 0, :], bestj[:, :, 0, :]
