@@ -18,7 +18,16 @@ import os
 import time
 from typing import Optional
 
+if os.environ.get("PRETRAIN_CPU") == "1":
+    # the stand-in nets are small enough that host training beats paying
+    # the remote-compile tunnel's minutes-per-shape latency (CLAUDE.md);
+    # forcing CPU needs BOTH the env var and the config update
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
 import jax
+
+if os.environ.get("PRETRAIN_CPU") == "1":
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
 
@@ -189,6 +198,8 @@ def main(argv=None):
                             "descriptor", "compnet"])
     args = p.parse_args(argv)
     os.makedirs(args.out, exist_ok=True)
+    from ..utils.cache import enable_compilation_cache
+    enable_compilation_cache()
 
     t0 = time.time()
     if args.which in ("all", "minutiae"):
@@ -204,7 +215,9 @@ def main(argv=None):
         _, v = pretrain_enhancement(steps=args.steps)
         save_checkpoint(os.path.join(args.out, "enhancement"), v)
     if args.which in ("all", "descriptor"):
-        _, v = pretrain_descriptor(steps=max(100, args.steps // 2))
+        # steps=0 is pool-prebuild-only mode (PRETRAIN_POOL_DIR caching)
+        _, v = pretrain_descriptor(
+            steps=max(100, args.steps // 2) if args.steps else 0)
         for pt in (2, 8, 11):
             save_checkpoint(os.path.join(args.out, f"descriptor_patch{pt}"), v)
     if args.which in ("all", "compnet"):
