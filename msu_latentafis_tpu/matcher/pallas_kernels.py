@@ -28,24 +28,31 @@ _COS_PI_6 = float(np.cos(np.pi / 6))
 
 def _adc_rowmax_kernel(x_ref, lsq_ref, dect_ref, rsq_ref, tvalid_ref,
                        best_ref, bestj_ref):
-    # x: [C, Lt, D] (a chunk of C latents — batching the latent axis turns
-    # C tiny [Lt, D] x [D, Rt] matmuls into one [C*Lt, D] x [D, Rt] GEMM;
-    # the per-latent variant ran the MXU at ~10% utilization);
-    # dect: [D, Rt] (one gallery entry, transposed); lsq: [C, Lt];
-    # rsq / tvalid: [1, Rt]; outputs: [C, Lt].
-    C, Lt, D = x_ref.shape
-    x = x_ref[...].reshape(C * Lt, D)
-    dect = dect_ref[...]
-    if dect.dtype != x.dtype:        # int8-stored gallery: cast in VMEM
-        dect = dect.astype(x.dtype)
-    dots = jnp.dot(x, dect, preferred_element_type=jnp.float32)  # [CLt, Rt]
-    lsq = lsq_ref[...].reshape(C * Lt)   # block [C, 1, Lt]
-    simi = 2.0 * dots + (6.0 - lsq[:, None] - rsq_ref[0, :][None, :])
-    # invalid rolled minutiae drop out of the row max
-    simi = simi + (tvalid_ref[0, :][None, :] - 1.0) * (-NEG_BIG)
-    best_ref[...] = jnp.max(simi, axis=1).reshape(C, 1, Lt)
-    bestj_ref[...] = jnp.argmax(simi, axis=1).astype(jnp.int32) \
-        .reshape(C, 1, Lt)
+    # x: [C*Lt, D] (a chunk of C latents, pre-flattened by the wrapper —
+    # batching the latent axis turns C tiny [Lt, D] x [D, Rt] matmuls into
+    # one [C*Lt, D] x [D, Rt] GEMM; the per-latent variant ran the MXU at
+    # ~10% utilization); lsq: [C*Lt, 1] (pre-shaped column — an in-kernel
+    # [C, 1, Lt] -> [C*Lt, 1] reshape crosses the (sublane, lane) pair and
+    # Mosaic cannot relayout it);
+    # dect: [E, D, Rt] (E gallery entries, transposed — the unrolled entry
+    # loop amortizes the per-grid-step fixed cost, which dominated at one
+    # entry/step); rsq / tvalid: [E, 1, Rt]; outputs: [C, E, Lt].
+    CLt, D = x_ref.shape
+    E = dect_ref.shape[0]
+    C, _, Lt = best_ref.shape
+    x = x_ref[...]
+    lsq = lsq_ref[...]                   # [C*Lt, 1]
+    for e in range(E):
+        dect = dect_ref[e]
+        if dect.dtype != x.dtype:        # int8-stored gallery: cast in VMEM
+            dect = dect.astype(x.dtype)
+        dots = jnp.dot(x, dect, preferred_element_type=jnp.float32)
+        simi = 2.0 * dots + (6.0 - lsq - rsq_ref[e, 0, :][None, :])
+        # invalid rolled minutiae drop out of the row max
+        simi = simi + (tvalid_ref[e, 0, :][None, :] - 1.0) * (-NEG_BIG)
+        best_ref[:, e, :] = jnp.max(simi, axis=1).reshape(C, Lt)
+        bestj_ref[:, e, :] = jnp.argmax(simi, axis=1).astype(jnp.int32) \
+            .reshape(C, Lt)
 
 
 def _adc_latent_chunk(NL: int, Lt: int, Rt: int,
@@ -59,19 +66,29 @@ def _adc_latent_chunk(NL: int, Lt: int, Rt: int,
     return c
 
 
-def _greedy_rounds(S, blockers, eligible):
+def _vec_to_sub(v):
+    """[T, K] lane-major vector -> [T, K, 1] sublane-major."""
+    return jnp.swapaxes(v[:, None, :], 1, 2)
+
+
+def _greedy_rounds(S, blockers, eligible, prologue: int = 3):
     """Parallel greedy-by-priority rounds over a [T, K] tile (see
     graph_filter.greedy_one_to_one for the equivalence argument). Carries
     are f32 masks — Mosaic cannot legalize while_loop over i1 vectors.
     Each while iteration runs TWO rounds: a round is a no-op once its set
     converged, so this is exact while halving the serial scalar-reduce
     chain of ``cond`` (the cond reduction is latency-bound on TPU).
+    ``prologue`` double-rounds run unconditionally first — typical tiles
+    converge within ~6 rounds, so the while usually evaluates ``cond``
+    once; converged rounds are no-ops, so this stays exact.
 
     Each round needs two counts per slot — live blockers (any_live) and
     selected blockers (blocked_by_sel). Both come from ONE [T, K, K]
     multiply-reduce with the weight (1 - rej) + KW*sel (KW > K): counts
     are small integers, so q = u + KW*s is exact in f32 and u > 0 <=>
-    q > 0.5, s > 0 <=> q > KW - 0.5 (u <= K < KW)."""
+    q > 0.5, s > 0 <=> q > KW - 0.5 (u <= K < KW). (A sublane-reduce
+    variant over a transposed blocking matrix measured SLOWER — the
+    per-round vector transposes cost more than the lane-reduce tree.)"""
     elig_f = eligible.astype(jnp.float32)
     KW = float(S.shape[-1] + 1)
 
@@ -93,8 +110,10 @@ def _greedy_rounds(S, blockers, eligible):
     def body(state):
         return one_round(one_round(state))
 
-    zeros = jnp.zeros_like(elig_f)
-    sel, _ = jax.lax.while_loop(cond, body, (zeros, zeros))
+    state = (jnp.zeros_like(elig_f), jnp.zeros_like(elig_f))
+    for _ in range(prologue):
+        state = body(state)
+    sel, _ = jax.lax.while_loop(cond, body, state)
     return sel > 0.5
 
 
@@ -608,7 +627,7 @@ def _block_mats(rows: int, group: int):
 
 def _make_minutiae_match_kernel(K: int, tile_b: int, P: int, R: int,
                                 row_cap: int, lookup: bool, dist_iters: int,
-                                bisect_iters: int = 30):
+                                bisect_iters: int = 26):
     # Stage-2 compaction to min(P, R) slots is exact: greedy-1 survivors
     # are one-to-one in BOTH li and ri (shared minutiae block), so no set
     # keeps more than min(P, R) correspondences. With the distance-table
@@ -863,7 +882,7 @@ def fused_minutiae_match(lat_des, lat_validf, rol_des_t, rol_validf,
 
 def _make_texture_match_kernel(K: int, tile_b: int, Lt: int, R: int,
                                lookup: bool, dist_iters: int,
-                               bisect_iters: int = 42):
+                               bisect_iters: int = 26):
     """Texture scoring tail: top-K selection over the per-latent-minutia
     row maxima (matcher.cpp:723-749) + graph filtering, in one kernel.
     The row maxima come from fused_adc_rowmax[_codes]; XLA's
@@ -878,11 +897,9 @@ def _make_texture_match_kernel(K: int, tile_b: int, Lt: int, R: int,
         lvalid = lvalid_ref[...]                                # [1, Lt]
         lpackT = lpackT_ref[...]                                # [4, Lt]
         strict_cols = _strict_lt(Lt, Lt)
-        iota_lt = jax.lax.broadcasted_iota(jnp.int32, (1, Lt), 1) \
+        iota_lt_sub = jax.lax.broadcasted_iota(jnp.int32, (Lt, 1), 0) \
             .astype(jnp.float32)
-        iota_k2 = jax.lax.broadcasted_iota(jnp.int32, (K, Lt), 0) \
-            .astype(jnp.float32)
-        iota_ltk = jax.lax.broadcasted_iota(jnp.int32, (Lt, K), 0) \
+        iota_k_lane = jax.lax.broadcasted_iota(jnp.int32, (Lt, K), 1) \
             .astype(jnp.float32)
         iota_rk = jax.lax.broadcasted_iota(jnp.int32, (R, K), 0) \
             .astype(jnp.float32)
@@ -893,25 +910,38 @@ def _make_texture_match_kernel(K: int, tile_b: int, Lt: int, R: int,
         # rolled minutiae are already <= NEG_BIG — both sit below the
         # bisect window's lo bound and can never be selected
         bestm2 = jnp.where(lvalid > 0.5, best_all, SENT)        # [tb, Lt]
-        lo0 = jnp.zeros((tile_b, 1), jnp.float32) + SENT
+        # dynamic bisect window: [min valid - 1, max + 1] spans the actual
+        # value spread (~tens), so 26 iterations resolve below f32 eps —
+        # the static [SENT, hi] window needed 42 serial iterations for
+        # coarser resolution. Entries with no valid value degenerate to an
+        # empty window and select nothing, matching the SENT semantics.
+        minv = jnp.min(jnp.where(bestm2 > SENT + 1.0, bestm2, 1e30),
+                       axis=1, keepdims=True)
+        lo0 = jnp.maximum(minv - 1.0, SENT)
         hi0 = jnp.max(bestm2, axis=1, keepdims=True) + 1.0
         sel2, slot2 = _select_slots_batched(bestm2, K, lo0, hi0,
                                             bisect_iters, strict_cols,
                                             None, None)
         gls, grs, vals, lis, ris, vfs = [], [], [], [], [], []
         for s in range(tile_b):
-            bestm = bestm2[s:s + 1]                             # [1, Lt]
-            bestj = bestj_all[s:s + 1]
-            ind = (jnp.abs(slot2[s:s + 1] - iota_k2) < 0.5) \
-                .astype(jnp.float32) * sel2[s:s + 1]            # [K, Lt]
-            val = jnp.sum(ind * bestm, axis=1)                  # [K]
-            li = jnp.sum(ind * iota_lt, axis=1)
-            ri = jnp.sum(ind * bestj, axis=1)
-            vf = jnp.sum(ind, axis=1)
+            # sublane-major scatter: the [Lt, K] indicator has the latent
+            # row on sublanes, so every per-slot reduction is a strided
+            # sublane add (the [K, Lt] form paid a cross-lane shuffle tree
+            # per quantity), and the indicator IS the latent one-hot for
+            # the coordinate gather matmul.
+            slot_s = _vec_to_sub(slot2[s:s + 1])                # [Lt, 1]
+            sel_s = _vec_to_sub(sel2[s:s + 1])
+            bestm_s = _vec_to_sub(bestm2[s:s + 1])
+            bestj_s = _vec_to_sub(bestj_all[s:s + 1])
+            indT = (jnp.abs(slot_s[0] - iota_k_lane) < 0.5) \
+                .astype(jnp.float32) * sel_s[0]                 # [Lt, K]
+            val = jnp.sum(indT * bestm_s[0], axis=0)            # [K]
+            li = jnp.sum(indT * iota_lt_sub, axis=0)
+            ri = jnp.sum(indT * bestj_s[0], axis=0)
+            vf = jnp.sum(indT, axis=0)
 
-            oh_lT = (iota_ltk == li[None, :]).astype(jnp.float32)
             oh_rT = (iota_rk == ri[None, :]).astype(jnp.float32)
-            gls.append(jnp.dot(lpackT, oh_lT,
+            gls.append(jnp.dot(lpackT, indT,
                                preferred_element_type=jnp.float32))
             grs.append(jnp.dot(rpackT_ref[s], oh_rT,
                                preferred_element_type=jnp.float32))
@@ -944,7 +974,7 @@ def _make_texture_match_kernel(K: int, tile_b: int, Lt: int, R: int,
                                     "tile_b", "interpret"))
 def fused_texture_match(best, bestj, lat_validf, lpackT, rpackT,
                         top_n: int = 200, lookup: bool = True,
-                        dist_iters: int = 3, tile_b: int = 8,
+                        dist_iters: int = 3, tile_b: int = 0,
                         interpret: bool = False) -> jnp.ndarray:
     """Texture-match tail taking the ADC row maxima directly.
 
@@ -957,10 +987,14 @@ def fused_texture_match(best, bestj, lat_validf, lpackT, rpackT,
     """
     NL, B, Lt = best.shape
     R = rpackT.shape[2]
+    K = min(top_n, Lt)
+    if tile_b == 0:
+        # ~10 live [tile, K, K] f32 filter tensors bound scoped VMEM:
+        # tile 8 at K=200 allocates ~18.8M > the 16M limit
+        tile_b = 8 if K <= 128 else 4
     while B % tile_b:                       # tiny galleries: B < tile_b
         tile_b //= 2
     assert tile_b >= 1, (B,)
-    K = min(top_n, Lt)
 
     kernel = _make_texture_match_kernel(K, tile_b, Lt, R, lookup, dist_iters)
     out = pl.pallas_call(
@@ -985,48 +1019,53 @@ def _adc_rowmax_codes_kernel(n_clusters: int):
     def kernel(x_ref, lsq_ref, codes_ref, tdec_ref, rsq_ref, tvalid_ref,
                best_ref, bestj_ref, dect_ref):
         # x: [Ch, Lt, D] (a chunk of latents — see _adc_rowmax_kernel);
-        # codes: [S, Rt] u8 (gallery entry b);
+        # codes: [E, S, Rt] u8 (E gallery entries);
         # tdec: [D, S*C] transposed block-diagonal decode tensor;
-        # dect_ref: [D, Rt] VMEM scratch holding the decoded entry, built
-        # once per gallery entry (grid is (B, chunks) with chunks innermost)
-        # and reused by every latent chunk.
+        # dect_ref: [E, D, Rt] VMEM scratch holding the decoded entries,
+        # built once per gallery tile (grid is (B/E, chunks) with chunks
+        # innermost) and reused by every latent chunk.
         C = n_clusters
+        E = codes_ref.shape[0]
 
         @pl.when(pl.program_id(1) == 0)
         def _decode():
-            codes = codes_ref[...].astype(jnp.int32)          # [S, Rt]
-            S, Rt = codes.shape
-            D = tdec_ref.shape[0]
-            acc = jnp.zeros((D, Rt), jnp.float32)
-            # unrolled one-hot matmuls: decoded = sum_k CB_k^T @ 1hot_k.
-            # MXU-shaped ([D, C] x [C, Rt]); no vector gathers on TPU.
-            for k in range(S):
-                onehot = (codes[k:k + 1, :]
-                          == jax.lax.broadcasted_iota(jnp.int32, (C, Rt), 0)
-                          ).astype(tdec_ref.dtype)            # [C, Rt]
-                acc += jnp.dot(tdec_ref[:, k * C:(k + 1) * C], onehot,
-                               preferred_element_type=jnp.float32)
-            dect_ref[...] = acc.astype(dect_ref.dtype)
+            for e in range(E):
+                codes = codes_ref[e].astype(jnp.int32)        # [S, Rt]
+                S, Rt = codes.shape
+                D = tdec_ref.shape[0]
+                acc = jnp.zeros((D, Rt), jnp.float32)
+                # unrolled one-hot matmuls: decoded = sum_k CB_k^T @ 1hot_k.
+                # MXU-shaped ([D, C] x [C, Rt]); no vector gathers on TPU.
+                for k in range(S):
+                    onehot = (codes[k:k + 1, :]
+                              == jax.lax.broadcasted_iota(jnp.int32,
+                                                          (C, Rt), 0)
+                              ).astype(tdec_ref.dtype)        # [C, Rt]
+                    acc += jnp.dot(tdec_ref[:, k * C:(k + 1) * C], onehot,
+                                   preferred_element_type=jnp.float32)
+                dect_ref[e] = acc.astype(dect_ref.dtype)
 
-        Ch, Lt, D = x_ref.shape
-        x = x_ref[...].reshape(Ch * Lt, D)
-        dots = jnp.dot(x, dect_ref[...].astype(x.dtype),
-                       preferred_element_type=jnp.float32)    # [ChLt, Rt]
-        lsq = lsq_ref[...].reshape(Ch * Lt)   # block [Ch, 1, Lt]
-        simi = 2.0 * dots + (6.0 - lsq[:, None] - rsq_ref[0, :][None, :])
-        simi = simi + (tvalid_ref[0, :][None, :] - 1.0) * (-NEG_BIG)
-        best_ref[...] = jnp.max(simi, axis=1).reshape(Ch, 1, Lt)
-        bestj_ref[...] = jnp.argmax(simi, axis=1).astype(jnp.int32) \
-            .reshape(Ch, 1, Lt)
+        Ch, _, Lt = best_ref.shape
+        x = x_ref[...]                        # [Ch*Lt, D] pre-flattened
+        lsq = lsq_ref[...]                    # [Ch*Lt, 1] pre-shaped column
+        for e in range(E):
+            dots = jnp.dot(x, dect_ref[e].astype(x.dtype),
+                           preferred_element_type=jnp.float32)  # [ChLt, Rt]
+            simi = 2.0 * dots + (6.0 - lsq - rsq_ref[e, 0, :][None, :])
+            simi = simi + (tvalid_ref[e, 0, :][None, :] - 1.0) * (-NEG_BIG)
+            best_ref[:, e, :] = jnp.max(simi, axis=1).reshape(Ch, Lt)
+            bestj_ref[:, e, :] = jnp.argmax(simi, axis=1).astype(jnp.int32) \
+                .reshape(Ch, Lt)
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("n_clusters", "interpret"))
+@functools.partial(jax.jit, static_argnames=("n_clusters", "entries_per_step",
+                                             "interpret"))
 def fused_adc_rowmax_codes(x: jnp.ndarray, lat_sqnorm: jnp.ndarray,
                            codes_t: jnp.ndarray, tdec: jnp.ndarray,
                            rol_sqnorm: jnp.ndarray, rol_valid: jnp.ndarray,
-                           n_clusters: int = 256,
+                           n_clusters: int = 256, entries_per_step: int = 8,
                            interpret: bool = False
                            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """fused_adc_rowmax for codes-resident galleries: PQ decode happens in
@@ -1041,39 +1080,43 @@ def fused_adc_rowmax_codes(x: jnp.ndarray, lat_sqnorm: jnp.ndarray,
     """
     NL, Lt, D = x.shape
     B, S, Rt = codes_t.shape
+    E = entries_per_step
+    while B % E:
+        E //= 2
     rsq = rol_sqnorm.reshape(B, 1, Rt)
     tva = rol_valid.astype(jnp.float32).reshape(B, 1, Rt)
     C = _adc_latent_chunk(NL, Lt, Rt)
 
     best, bestj = pl.pallas_call(
         _adc_rowmax_codes_kernel(n_clusters),
-        grid=(B, NL // C),
+        grid=(B // E, NL // C),
         in_specs=[
-            pl.BlockSpec((C, Lt, D), lambda b, c: (c, 0, 0)),
-            pl.BlockSpec((C, 1, Lt), lambda b, c: (c, 0, 0)),
-            pl.BlockSpec((None, S, Rt), lambda b, c: (b, 0, 0)),
+            pl.BlockSpec((C * Lt, D), lambda b, c: (c, 0)),
+            pl.BlockSpec((C * Lt, 1), lambda b, c: (c, 0)),
+            pl.BlockSpec((E, S, Rt), lambda b, c: (b, 0, 0)),
             pl.BlockSpec((D, S * n_clusters), lambda b, c: (0, 0)),
-            pl.BlockSpec((None, 1, Rt), lambda b, c: (b, 0, 0)),
-            pl.BlockSpec((None, 1, Rt), lambda b, c: (b, 0, 0)),
+            pl.BlockSpec((E, 1, Rt), lambda b, c: (b, 0, 0)),
+            pl.BlockSpec((E, 1, Rt), lambda b, c: (b, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((C, None, 1, Lt), lambda b, c: (c, b, 0, 0)),
-            pl.BlockSpec((C, None, 1, Lt), lambda b, c: (c, b, 0, 0)),
+            pl.BlockSpec((C, E, Lt), lambda b, c: (c, b, 0)),
+            pl.BlockSpec((C, E, Lt), lambda b, c: (c, b, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((NL, B, 1, Lt), jnp.float32),
-            jax.ShapeDtypeStruct((NL, B, 1, Lt), jnp.int32),
+            jax.ShapeDtypeStruct((NL, B, Lt), jnp.float32),
+            jax.ShapeDtypeStruct((NL, B, Lt), jnp.int32),
         ],
-        scratch_shapes=[pltpu.VMEM((D, Rt), x.dtype)],
+        scratch_shapes=[pltpu.VMEM((E, D, Rt), x.dtype)],
         interpret=interpret,
-    )(x, lat_sqnorm.reshape(NL, 1, Lt), codes_t, tdec, rsq, tva)
-    return best[:, :, 0, :], bestj[:, :, 0, :]
+    )(x.reshape(NL * Lt, D), lat_sqnorm.reshape(NL * Lt, 1), codes_t, tdec,
+      rsq, tva)
+    return best, bestj
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("entries_per_step", "interpret"))
 def fused_adc_rowmax(x: jnp.ndarray, lat_sqnorm: jnp.ndarray,
                      dect: jnp.ndarray, rol_sqnorm: jnp.ndarray,
-                     rol_valid: jnp.ndarray,
+                     rol_valid: jnp.ndarray, entries_per_step: int = 8,
                      interpret: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Row maxima of the ADC similarity without materializing it.
 
@@ -1086,31 +1129,34 @@ def fused_adc_rowmax(x: jnp.ndarray, lat_sqnorm: jnp.ndarray,
     NL, Lt, D = x.shape
     B, D2, Rt = dect.shape
     assert D == D2
+    E = entries_per_step
+    while B % E:
+        E //= 2
     rsq = rol_sqnorm.reshape(B, 1, Rt)
     tva = rol_valid.astype(jnp.float32).reshape(B, 1, Rt)
     C = _adc_latent_chunk(NL, Lt, Rt)
 
-    # gallery-outer grid: the decoded entry is fetched once per b and
+    # gallery-outer grid: the decoded entries are fetched once per b and
     # reused across the latent chunks (the chunk block index is unchanged
     # between consecutive steps, so Mosaic skips the refetch)
     best, bestj = pl.pallas_call(
         _adc_rowmax_kernel,
-        grid=(B, NL // C),
+        grid=(B // E, NL // C),
         in_specs=[
-            pl.BlockSpec((C, Lt, D), lambda b, c: (c, 0, 0)),
-            pl.BlockSpec((C, 1, Lt), lambda b, c: (c, 0, 0)),
-            pl.BlockSpec((None, D, Rt), lambda b, c: (b, 0, 0)),
-            pl.BlockSpec((None, 1, Rt), lambda b, c: (b, 0, 0)),
-            pl.BlockSpec((None, 1, Rt), lambda b, c: (b, 0, 0)),
+            pl.BlockSpec((C * Lt, D), lambda b, c: (c, 0)),
+            pl.BlockSpec((C * Lt, 1), lambda b, c: (c, 0)),
+            pl.BlockSpec((E, D, Rt), lambda b, c: (b, 0, 0)),
+            pl.BlockSpec((E, 1, Rt), lambda b, c: (b, 0, 0)),
+            pl.BlockSpec((E, 1, Rt), lambda b, c: (b, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((C, None, 1, Lt), lambda b, c: (c, b, 0, 0)),
-            pl.BlockSpec((C, None, 1, Lt), lambda b, c: (c, b, 0, 0)),
+            pl.BlockSpec((C, E, Lt), lambda b, c: (c, b, 0)),
+            pl.BlockSpec((C, E, Lt), lambda b, c: (c, b, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((NL, B, 1, Lt), jnp.float32),
-            jax.ShapeDtypeStruct((NL, B, 1, Lt), jnp.int32),
+            jax.ShapeDtypeStruct((NL, B, Lt), jnp.float32),
+            jax.ShapeDtypeStruct((NL, B, Lt), jnp.int32),
         ],
         interpret=interpret,
-    )(x, lat_sqnorm.reshape(NL, 1, Lt), dect, rsq, tva)
-    return best[:, :, 0, :], bestj[:, :, 0, :]
+    )(x.reshape(NL * Lt, D), lat_sqnorm.reshape(NL * Lt, 1), dect, rsq, tva)
+    return best, bestj

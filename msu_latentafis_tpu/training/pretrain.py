@@ -84,7 +84,7 @@ def pretrain_minutiae(steps: int = 300, batch: int = 16, size: int = 128,
         return (np.stack([d[0] for d in data]) / 128.0 - 1.0,
                 np.stack([d[1] for d in data]))
 
-    xs_all, ys_all = _pool_cache(f"minutiae{size}_{pool}_{seed}", build)
+    xs_all, ys_all = _pool_cache(f"minutiae_v2_{size}_{pool}_{seed}", build)
     for i in range(steps):
         idx = rng.integers(0, pool, batch)
         state, loss = step_fn(state, jnp.asarray(xs_all[idx]),
@@ -95,7 +95,8 @@ def pretrain_minutiae(steps: int = 300, batch: int = 16, size: int = 128,
 
 
 def pretrain_enhancement(steps: int = 300, batch: int = 16, size: int = 128,
-                         seed: int = 0, log_every: int = 50):
+                         seed: int = 0, log_every: int = 50,
+                         pool: int = 384):
     rng = np.random.default_rng(seed)
     model = EnhancementAEC()
     key = jax.random.PRNGKey(seed)
@@ -104,20 +105,25 @@ def pretrain_enhancement(steps: int = 300, batch: int = 16, size: int = 128,
     print("generating enhancement training pool...", flush=True)
 
     def build():
-        from ..ops.fft import stft_enhance
-        pool = 256
-        data = [synthetic_enhancement_sample(rng, size=size)
+        from ..ops.fft import fast_cartoon_texture, stft_enhance
+        from .synthetic_data import synthetic_latent_sample
+        # inputs follow the deployment path exactly: latent-style clutter
+        # -> cartoon-texture -> STFT enhancement (extraction_latent feeds
+        # the AEC stft_enhance(fast_cartoon_texture(img))); target is the
+        # clean ridge structure. The v1 pool used clean-ridge STFT inputs,
+        # which left real cluttered latents out of distribution and the
+        # AEC-quality block mask empty.
+        data = [synthetic_latent_sample(rng, size=size)
                 for _ in range(pool)]
-        # inputs live in the STFT-enhanced domain (the pipeline feeds the
-        # AEC the STFT texture image); target is the clean ridge structure
-        raws = np.stack([np.asarray(stft_enhance(d[0][:, :, 0]),
-                                    np.float32)[:, :, None] for d in data])
+        raws = np.stack([np.asarray(
+            stft_enhance(np.asarray(fast_cartoon_texture(d[0]), np.float64)),
+            np.float32)[:, :, None] for d in data])
         return raws, np.stack([d[1] for d in data])
 
-    raws, targets = _pool_cache(f"enhance{size}_{seed}", build)
+    raws, targets = _pool_cache(f"enhance_lat{size}_{pool}_{seed}", build)
     # host-side degradation: brightness/contrast jitter + box blur
     for i in range(steps):
-        idx = rng.integers(0, pool, batch)
+        idx = rng.integers(0, len(raws), batch)
         x = raws[idx].copy()
         x += (rng.random((batch, 1, 1, 1)) - 0.5) * 50.0
         x *= rng.random((batch, 1, 1, 1)) + 0.5
@@ -139,11 +145,11 @@ def pretrain_descriptor(steps: int = 200, seed: int = 0, log_every: int = 50):
 
     def build():
         data = [synthetic_descriptor_batch(rng, n_ids=8, samples_per_id=4)
-                for _ in range(32)]
+                for _ in range(48)]
         return (np.stack([d[0] for d in data]),
                 np.stack([d[1] for d in data]))
 
-    xs, ys = _pool_cache(f"descriptor_{seed}", build)
+    xs, ys = _pool_cache(f"descriptor_v2_{seed}", build)
     for i in range(steps):
         k = int(rng.integers(0, len(xs)))
         x, y = xs[k], ys[k]

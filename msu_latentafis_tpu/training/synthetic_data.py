@@ -86,6 +86,7 @@ def synthetic_minutiae_sample(rng: np.random.Generator, size: int = 128,
     """
     img, theta = render_ridge_image(rng, size, size,
                                     spacing=float(rng.uniform(7, 11)))
+    clutter = rng.random() < 0.5
     minutiae = np.zeros((n_minutiae, 4), np.float64)
     minutiae[:, 0] = rng.uniform(12, size - 12, n_minutiae)
     minutiae[:, 1] = rng.uniform(12, size - 12, n_minutiae)
@@ -100,6 +101,11 @@ def synthetic_minutiae_sample(rng: np.random.Generator, size: int = 128,
         along = (xx - x) * np.cos(-o) + (yy - y) * np.sin(-o)
         wedge = (along > 0) & (d2 < 15 ** 2)
         img[wedge] = 0.5 * img[wedge] + 0.5 * 200.0
+    if clutter:
+        # half the pool carries latent-lift interference so detection at
+        # deployment (STFT of a cluttered latent) is in-distribution
+        img = add_latent_clutter(rng, img,
+                                 strength=float(rng.uniform(0.3, 0.9)))
     if preprocess == "stft":
         from ..ops.fft import stft_enhance
         img = np.asarray(stft_enhance(img), np.float64)
@@ -108,6 +114,56 @@ def synthetic_minutiae_sample(rng: np.random.Generator, size: int = 128,
         img = np.asarray(fast_cartoon_texture(img), np.float64)
     cyl = cylinder_target_np(minutiae, size, size, num_ori=num_ori)
     return img[:, :, None].astype(np.float32), cyl, minutiae
+
+
+def add_latent_clutter(rng: np.random.Generator, img: np.ndarray,
+                       strength: float = 1.0) -> np.ndarray:
+    """Overlay latent-lift clutter on a clean ridge image: low-frequency
+    background shading, smooth contrast falloff, dark/bright strokes
+    (ruler/text/furrow artifacts), blobs, and sensor noise — the structured
+    interference real SD27-style latents carry. The enhancement AEC and the
+    descriptor/minutiae nets train against this domain so the deployment
+    inputs (stft/cartoon of real latents) are in-distribution."""
+    from scipy.ndimage import gaussian_filter
+    h, w = img.shape
+    out = img.astype(np.float64).copy()
+    bg = gaussian_filter(rng.standard_normal((h, w)), max(h, w) / 8.0)
+    bg /= np.abs(bg).max() + 1e-9
+    out += bg * rng.uniform(20, 80) * strength
+    amp = gaussian_filter(rng.random((h, w)), max(h, w) / 6.0)
+    amp = (amp - amp.min()) / (amp.max() - amp.min() + 1e-9)
+    lo = rng.uniform(0.25, 0.6)
+    out = 128.0 + (out - 128.0) * (lo + (1.0 - lo) * amp)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    for _ in range(int(rng.integers(0, 6))):
+        theta = rng.uniform(0, np.pi)
+        c, s = np.cos(theta), np.sin(theta)
+        offset = rng.uniform(-0.5, 0.5) * (h + w)
+        d = np.abs((xx - w / 2) * c + (yy - h / 2) * s - offset)
+        mask = d < rng.uniform(1.0, 4.0)
+        shade = rng.uniform(0, 255)
+        alpha = rng.uniform(0.4, 0.9) * strength
+        out[mask] = (1 - alpha) * out[mask] + alpha * shade
+    for _ in range(int(rng.integers(0, 4))):
+        cy, cx = rng.uniform(0, h), rng.uniform(0, w)
+        r2 = rng.uniform(5.0, h / 3.0) ** 2
+        m = np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / r2) \
+            * 0.6 * strength
+        out = out * (1 - m) + rng.uniform(0, 255) * m
+    out += rng.standard_normal((h, w)) * rng.uniform(3, 15)
+    return np.clip(out, 0, 255)
+
+
+def synthetic_latent_sample(rng: np.random.Generator, size: int = 128):
+    """(cluttered latent-style raw image [size, size], clean ridge target
+    [size, size, 1] in [-1, 1]) — the enhancement AEC's training pair
+    source; the caller applies the pipeline's actual preprocessing
+    (cartoon + STFT) to the cluttered side."""
+    img, _ = render_ridge_image(rng, size, size,
+                                spacing=float(rng.uniform(7, 11)))
+    clean = (img / 128.0 - 1.0)[:, :, None].astype(np.float32)
+    dirty = add_latent_clutter(rng, img)
+    return dirty, clean
 
 
 def synthetic_enhancement_sample(rng: np.random.Generator, size: int = 128):
@@ -148,6 +204,10 @@ def synthetic_descriptor_batch(rng: np.random.Generator, n_ids: int = 16,
                 j = rotate(j, ang, reshape=False, mode="nearest", order=1)
             dy, dx = rng.integers(0, 25, 2)
             j = j[dy:dy + size, dx:dx + size].copy()
+            if rng.random() < 0.5:
+                # latent-side nuisance: the matcher compares descriptors of
+                # a cluttered lift against a clean rolled print
+                j = add_latent_clutter(rng, j, strength=float(rng.uniform(0.3, 1.0)))
             domain = rng.integers(0, 3)
             if domain == 1:
                 from ..ops.fft import stft_enhance

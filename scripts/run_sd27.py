@@ -54,8 +54,16 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--ckpt", default="checkpoints/standin")
     p.add_argument("--out", default="/tmp/sd27")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (leaves the TPU tunnel free; "
+                        "the 6-image run is host-feasible)")
     args = p.parse_args()
 
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     from msu_latentafis_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
     import imageio.v2 as imageio
