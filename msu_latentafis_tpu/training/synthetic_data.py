@@ -18,7 +18,7 @@ from ..ops.cylinder import make_cylinder_target
 
 
 def random_orientation_field(rng: np.random.Generator, blkH: int, blkW: int,
-                             smooth: int = 3) -> np.ndarray:
+                             smooth: int = 5) -> np.ndarray:
     """Smooth random orientation field in radians via doubled-angle
     Gaussian-smoothed noise."""
     c = rng.standard_normal((blkH, blkW))
@@ -43,11 +43,21 @@ def render_ridge_image(rng: np.random.Generator, h: int = 512, w: int = 512,
     theta = np.arctan2(s, c) * 0.5
 
     # integrate a phase field along the local normal direction:
-    # approximate with projection onto the (slowly varying) local normal
+    # approximate with projection onto the (slowly varying) local normal.
+    # The waveform is the ridge/valley asymmetric wave the quality
+    # dictionary is built from (get_maps.py:271-283) — a pure cosine only
+    # correlates ~0.5 with those atoms, which capped dictionary quality of
+    # AEC outputs below the pipeline's 0.45 mask threshold.
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
-    phase = (xx * np.cos(theta + np.pi / 2) + yy * np.sin(theta + np.pi / 2))
-    phase *= 2 * np.pi / spacing
-    img = np.cos(phase)
+    dist = (xx * np.cos(theta + np.pi / 2) + yy * np.sin(theta + np.pi / 2))
+    sp = float(np.round(spacing))
+    valley = max(2.0, np.floor(sp / 2) - 1)
+    ridge = sp - valley
+    x_off = np.remainder(dist, sp)
+    y1 = np.where(x_off <= ridge, x_off, 0.0)
+    y2 = np.where(x_off > ridge, x_off - ridge, 0.0)
+    img = -np.sin(2 * np.pi * (y1 / ridge / 2.0)) \
+        + np.sin(2 * np.pi * (y2 / valley / 2.0))
     img = (img * 0.5 + 0.5) * 255.0
     noise = rng.standard_normal((h, w)) * 12.0
     return np.clip(img + noise, 0, 255), theta
@@ -85,7 +95,7 @@ def synthetic_minutiae_sample(rng: np.random.Generator, size: int = 128,
     rolled texture path) so the stand-in trains in its deployment domain.
     """
     img, theta = render_ridge_image(rng, size, size,
-                                    spacing=float(rng.uniform(7, 11)))
+                                    spacing=float(rng.uniform(9, 12.5)))
     clutter = rng.random() < 0.5
     minutiae = np.zeros((n_minutiae, 4), np.float64)
     minutiae[:, 0] = rng.uniform(12, size - 12, n_minutiae)
@@ -160,7 +170,7 @@ def synthetic_latent_sample(rng: np.random.Generator, size: int = 128):
     source; the caller applies the pipeline's actual preprocessing
     (cartoon + STFT) to the cluttered side."""
     img, _ = render_ridge_image(rng, size, size,
-                                spacing=float(rng.uniform(7, 11)))
+                                spacing=float(rng.uniform(9, 12.5)))
     clean = (img / 128.0 - 1.0)[:, :, None].astype(np.float32)
     dirty = add_latent_clutter(rng, img)
     return dirty, clean
@@ -170,7 +180,7 @@ def synthetic_enhancement_sample(rng: np.random.Generator, size: int = 128):
     """(clean ridge image [size,size,1] raw, same as target) — the
     degradation augment corrupts the input side at train time."""
     img, _ = render_ridge_image(rng, size, size,
-                                spacing=float(rng.uniform(7, 11)))
+                                spacing=float(rng.uniform(9, 12.5)))
     x = img[:, :, None].astype(np.float32)
     return x, (x / 128.0 - 1.0)
 
@@ -196,7 +206,7 @@ def synthetic_descriptor_batch(rng: np.random.Generator, n_ids: int = 16,
     xs, ys = [], []
     for label in range(n_ids):
         base, _ = render_ridge_image(rng, big, big,
-                                     spacing=float(rng.uniform(7, 11)))
+                                     spacing=float(rng.uniform(9, 12.5)))
         for k in range(samples_per_id):
             j = base
             ang = float(rng.uniform(-10, 10))
