@@ -56,7 +56,7 @@ def _adc_rowmax_kernel(x_ref, lsq_ref, dect_ref, rsq_ref, tvalid_ref,
 
 
 def _adc_latent_chunk(NL: int, Lt: int, Rt: int,
-                      budget_bytes: int = 6_000_000) -> int:
+                      budget_bytes: int = 3_000_000) -> int:
     """Largest divisor of NL whose [C*Lt, Rt] f32 similarity block fits the
     VMEM budget."""
     cap = max(1, budget_bytes // max(Lt * Rt * 4, 1))
@@ -285,8 +285,19 @@ def _filter_body(val, lx, ly, lc, ls, rx, ry, rc, rs, li, ri, vf,
         K2 = K
         val2, lc2, ls2, rc2, rs2 = val, lc, ls, rc, rs
         sel1b = sel1
-        dxl2, dyl2, dxr2, dyr2 = dxl, dyl, dxr, dyr
-        conflict2, idx2_f, neyef2 = conflictf, idx_f, neyef
+        # REBUILD the pairwise coordinate diffs and the conflict matrix
+        # instead of reusing stage 1's: keeping five [T, K, K] f32 tensors
+        # live across power-1 + greedy-1 pushed the texture kernel's scoped
+        # VMEM to ~18.8M (> the chip's 16M); rebuilding costs 4 vector
+        # relayouts + a few elementwise passes and halves peak liveness.
+        dxl2 = lx[:, :, None] - lx[:, None, :]
+        dyl2 = ly[:, :, None] - ly[:, None, :]
+        dxr2 = rx[:, :, None] - rx[:, None, :]
+        dyr2 = ry[:, :, None] - ry[:, None, :]
+        conflict2 = jnp.minimum(
+            (li[:, :, None] == li[:, None, :]).astype(jnp.float32)
+            + (ri[:, :, None] == ri[:, None, :]).astype(jnp.float32), 1.0)
+        idx2_f, neyef2 = idx_f, neyef
         tie2 = (S1,) + tuple(tie1)
 
     # ---- stage 2: angle-consistency H (trig-free)
@@ -989,9 +1000,10 @@ def fused_texture_match(best, bestj, lat_validf, lpackT, rpackT,
     R = rpackT.shape[2]
     K = min(top_n, Lt)
     if tile_b == 0:
-        # ~10 live [tile, K, K] f32 filter tensors bound scoped VMEM:
-        # tile 8 at K=200 allocates ~18.8M > the 16M limit
-        tile_b = 8 if K <= 128 else 4
+        # Mosaic requires sublane block dims divisible by 8, so 8 is the
+        # floor; the filter body rebuilds its stage-2 operands to keep the
+        # ~16M scoped VMEM bound at K=200
+        tile_b = 8
     while B % tile_b:                       # tiny galleries: B < tile_b
         tile_b //= 2
     assert tile_b >= 1, (B,)
@@ -1009,6 +1021,10 @@ def fused_texture_match(best, bestj, lat_validf, lpackT, rpackT,
         ],
         out_specs=pl.BlockSpec((None, tile_b, 1), lambda n, b: (n, b, 0)),
         out_shape=jax.ShapeDtypeStruct((NL, B, 1), jnp.float32),
+        # the 16M scoped-vmem default is a compiler knob, not the physical
+        # bound: the K=200 body's ~15 live [8, K, K] f32 tensors need ~19M
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=28 * 1024 * 1024) if not interpret else None,
         interpret=interpret,
     )(best, bestj.astype(jnp.float32), lat_validf.reshape(NL, 1, Lt),
       lpackT, rpackT)
@@ -1065,7 +1081,7 @@ def _adc_rowmax_codes_kernel(n_clusters: int):
 def fused_adc_rowmax_codes(x: jnp.ndarray, lat_sqnorm: jnp.ndarray,
                            codes_t: jnp.ndarray, tdec: jnp.ndarray,
                            rol_sqnorm: jnp.ndarray, rol_valid: jnp.ndarray,
-                           n_clusters: int = 256, entries_per_step: int = 8,
+                           n_clusters: int = 256, entries_per_step: int = 4,
                            interpret: bool = False
                            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """fused_adc_rowmax for codes-resident galleries: PQ decode happens in
@@ -1116,7 +1132,7 @@ def fused_adc_rowmax_codes(x: jnp.ndarray, lat_sqnorm: jnp.ndarray,
 @functools.partial(jax.jit, static_argnames=("entries_per_step", "interpret"))
 def fused_adc_rowmax(x: jnp.ndarray, lat_sqnorm: jnp.ndarray,
                      dect: jnp.ndarray, rol_sqnorm: jnp.ndarray,
-                     rol_valid: jnp.ndarray, entries_per_step: int = 8,
+                     rol_valid: jnp.ndarray, entries_per_step: int = 4,
                      interpret: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Row maxima of the ADC similarity without materializing it.
 

@@ -145,12 +145,15 @@ def pretrain_descriptor(steps: int = 200, seed: int = 0, log_every: int = 50):
     print("generating descriptor training pool...", flush=True)
 
     def build():
-        data = [synthetic_descriptor_batch(rng, n_ids=8, samples_per_id=4)
-                for _ in range(48)]
+        # 16 identities per batch: triplet mining needs hard negatives in
+        # the batch — the 8-id pool saturated the margin at loss 0 while
+        # real cross-domain pairs still confused the embedding
+        data = [synthetic_descriptor_batch(rng, n_ids=16, samples_per_id=4)
+                for _ in range(64)]
         return (np.stack([d[0] for d in data]),
                 np.stack([d[1] for d in data]))
 
-    xs, ys = _pool_cache(f"descriptor_v3_{seed}", build)
+    xs, ys = _pool_cache(f"descriptor_v4_{seed}", build)
     for i in range(steps):
         k = int(rng.integers(0, len(xs)))
         x, y = xs[k], ys[k]
