@@ -144,6 +144,9 @@ class MatchEngine:
         # (gallery minutiae descriptors); the dequant scale is folded into
         # the latent operand at match time like the tex_int8 path
         self.minu_int8 = bool(minu_int8)
+        # None = follow jax.default_backend(); True/False = explicit override
+        # (used by the CPU-side Mosaic lowering-legality tests)
+        self.force_tpu_path: Optional[bool] = None
         # _match_all is natively batched over a leading latent axis: the
         # gallery (and per-block decode) is shared across the batch, the
         # texture scoring runs as one Pallas kernel over an (NL, B) grid,
@@ -285,7 +288,10 @@ class MatchEngine:
         G = gal["minu_des"].shape[0]
         nb = G // B
         dtype = self.compute_dtype
-        on_tpu = jax.default_backend() != "cpu"
+        # force_tpu_path=True lets the Mosaic-legality test trace/export the
+        # TPU kernel path from a CPU host (jax.export platforms=['tpu'])
+        on_tpu = (self.force_tpu_path if self.force_tpu_path is not None
+                  else jax.default_backend() != "cpu")
 
         NL, T, Lm, D = lat["minu_des"].shape
         lat_minu_valid = jnp.arange(Lm)[None, None, :] \

@@ -55,14 +55,56 @@ def _adc_rowmax_kernel(x_ref, lsq_ref, dect_ref, rsq_ref, tvalid_ref,
             .reshape(C, Lt)
 
 
-def _adc_latent_chunk(NL: int, Lt: int, Rt: int,
-                      budget_bytes: int = 3_000_000) -> int:
-    """Largest divisor of NL whose [C*Lt, Rt] f32 similarity block fits the
-    VMEM budget."""
-    cap = max(1, budget_bytes // max(Lt * Rt * 4, 1))
+def assert_mosaic_block_legal(block_shape, array_shape, origin: str = "?"):
+    """Trace-time mirror of Mosaic's ``_check_block_mappings`` rule
+    (jax/_src/pallas/mosaic/lowering.py): the last two dims of the
+    (None-squeezed) block must be divisible by (8, 128) respectively or
+    equal to the corresponding array dims. Raising here (on ANY backend,
+    interpret mode included) means a tuning change that would crash TPU
+    lowering fails the CPU test suite instead of the production bench —
+    the round-2 regression class."""
+    idx = [i for i, b in enumerate(block_shape) if b is not None]
+    bs = [block_shape[i] for i in idx]
+    ars = [array_shape[i] for i in idx]
+    if len(bs) >= 2:
+        ok = ((bs[-1] == ars[-1] or bs[-1] % 128 == 0)
+              and (bs[-2] == ars[-2] or bs[-2] % 8 == 0))
+        if not ok:
+            raise ValueError(
+                f"Mosaic-illegal block shape {tuple(block_shape)} for array "
+                f"{tuple(array_shape)} ({origin}): last two dims must be "
+                "divisible by (8, 128) or equal the array dims")
+
+
+def _adc_entries_per_step(B: int, requested: int = 8) -> int:
+    """Gallery entries per grid step. The output block is [C, E, Lt], so
+    Mosaic needs E % 8 == 0 or E == B: pick the largest multiple of 8
+    <= max(requested, 8) that divides B, else fall back to the full axis
+    (always legal)."""
+    top = min(max(requested, 8), B) // 8 * 8
+    for E in range(top, 0, -8):
+        if B % E == 0:
+            return E
+    return B
+
+
+def _adc_latent_chunk(NL: int, Lt: int, Rt: int, entries: int = 8,
+                      budget_bytes: int = 7_000_000) -> int:
+    """Largest divisor of NL whose ADC similarity working set fits VMEM.
+
+    The kernel's entry loop is unrolled ``entries`` times and Mosaic does
+    NOT reuse the [C*Lt, Rt] f32 dot/simi buffers across unrolled
+    iterations (measured on the v5e: C=4, E=8, Lt=Rt=448 allocates 35.75 MB
+    scoped — ~1.4 bytes-factor x E x C x Lt x Rt x 4 — against a 16 MB
+    physical VMEM). So the budget is divided by ``entries``. Also keeps the
+    [C*Lt, D] input block Mosaic-legal (C*Lt % 8 == 0, or the full axis)."""
+    per_entry = max(1, budget_bytes // max(1, entries))
+    cap = max(1, per_entry // max(Lt * Rt * 4, 1))
     c = min(NL, cap)
-    while NL % c:
+    while NL % c or (c != NL and (c * Lt) % 8):
         c -= 1
+        if c == 0:
+            return NL
     return c
 
 
@@ -528,7 +570,8 @@ def fused_graph_filter_infuse(val, li, ri, valid, lpackT, rpackT,
     R = rpackT.shape[2]
     if tile_b == 0:
         tile_b = 16 if K <= 128 else 8
-    assert B % tile_b == 0, (B, tile_b)
+    tile_b = _adc_entries_per_step(B, tile_b)
+    assert_mosaic_block_legal((None, tile_b, K), (NT, B, K), "filter_infuse")
     lif = li.astype(jnp.float32)
     rif = ri.astype(jnp.float32)
     validf = valid.astype(jnp.float32)
@@ -861,9 +904,9 @@ def fused_minutiae_match(lat_des, lat_validf, rol_des_t, rol_validf,
         # the [tile_b, K, K] filter arrays bound VMEM (16 x 120 x 120 f32
         # x ~10 live ~= 9 MB)
         tile_b = 16 if K <= 128 and B % 16 == 0 else 8
-    while B % tile_b:                       # tiny galleries: B < tile_b
-        tile_b //= 2
-    assert tile_b >= 1, (B,)
+    # legality: tile must divide B and be a multiple of 8 (or the full axis)
+    tile_b = _adc_entries_per_step(B, tile_b)
+    assert_mosaic_block_legal((None, tile_b, 1), (NT, B, 1), "minu_match out")
 
     kernel = _make_minutiae_match_kernel(K, tile_b, P, R, row_cap, lookup,
                                          dist_iters)
@@ -1004,9 +1047,10 @@ def fused_texture_match(best, bestj, lat_validf, lpackT, rpackT,
         # floor; the filter body rebuilds its stage-2 operands to keep the
         # ~16M scoped VMEM bound at K=200
         tile_b = 8
-    while B % tile_b:                       # tiny galleries: B < tile_b
-        tile_b //= 2
-    assert tile_b >= 1, (B,)
+    # legality: tile must divide B and be a multiple of 8 (or the full axis)
+    tile_b = _adc_entries_per_step(B, tile_b)
+    assert_mosaic_block_legal((None, tile_b, Lt), (NL, B, Lt), "tex_match in")
+    assert_mosaic_block_legal((tile_b, 4, R), (B, 4, R), "tex_match rpackT")
 
     kernel = _make_texture_match_kernel(K, tile_b, Lt, R, lookup, dist_iters)
     out = pl.pallas_call(
@@ -1081,7 +1125,7 @@ def _adc_rowmax_codes_kernel(n_clusters: int):
 def fused_adc_rowmax_codes(x: jnp.ndarray, lat_sqnorm: jnp.ndarray,
                            codes_t: jnp.ndarray, tdec: jnp.ndarray,
                            rol_sqnorm: jnp.ndarray, rol_valid: jnp.ndarray,
-                           n_clusters: int = 256, entries_per_step: int = 4,
+                           n_clusters: int = 256, entries_per_step: int = 8,
                            interpret: bool = False
                            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """fused_adc_rowmax for codes-resident galleries: PQ decode happens in
@@ -1096,12 +1140,12 @@ def fused_adc_rowmax_codes(x: jnp.ndarray, lat_sqnorm: jnp.ndarray,
     """
     NL, Lt, D = x.shape
     B, S, Rt = codes_t.shape
-    E = entries_per_step
-    while B % E:
-        E //= 2
+    E = _adc_entries_per_step(B, entries_per_step)
     rsq = rol_sqnorm.reshape(B, 1, Rt)
     tva = rol_valid.astype(jnp.float32).reshape(B, 1, Rt)
-    C = _adc_latent_chunk(NL, Lt, Rt)
+    C = _adc_latent_chunk(NL, Lt, Rt, entries=E)
+    assert_mosaic_block_legal((C, E, Lt), (NL, B, Lt), "adc_rowmax_codes out")
+    assert_mosaic_block_legal((C * Lt, D), (NL * Lt, D), "adc_rowmax_codes x")
 
     best, bestj = pl.pallas_call(
         _adc_rowmax_codes_kernel(n_clusters),
@@ -1132,7 +1176,7 @@ def fused_adc_rowmax_codes(x: jnp.ndarray, lat_sqnorm: jnp.ndarray,
 @functools.partial(jax.jit, static_argnames=("entries_per_step", "interpret"))
 def fused_adc_rowmax(x: jnp.ndarray, lat_sqnorm: jnp.ndarray,
                      dect: jnp.ndarray, rol_sqnorm: jnp.ndarray,
-                     rol_valid: jnp.ndarray, entries_per_step: int = 4,
+                     rol_valid: jnp.ndarray, entries_per_step: int = 8,
                      interpret: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Row maxima of the ADC similarity without materializing it.
 
@@ -1145,12 +1189,12 @@ def fused_adc_rowmax(x: jnp.ndarray, lat_sqnorm: jnp.ndarray,
     NL, Lt, D = x.shape
     B, D2, Rt = dect.shape
     assert D == D2
-    E = entries_per_step
-    while B % E:
-        E //= 2
+    E = _adc_entries_per_step(B, entries_per_step)
     rsq = rol_sqnorm.reshape(B, 1, Rt)
     tva = rol_valid.astype(jnp.float32).reshape(B, 1, Rt)
-    C = _adc_latent_chunk(NL, Lt, Rt)
+    C = _adc_latent_chunk(NL, Lt, Rt, entries=E)
+    assert_mosaic_block_legal((C, E, Lt), (NL, B, Lt), "adc_rowmax out")
+    assert_mosaic_block_legal((C * Lt, D), (NL * Lt, D), "adc_rowmax x")
 
     # gallery-outer grid: the decoded entries are fetched once per b and
     # reused across the latent chunks (the chunk block index is unchanged
