@@ -134,18 +134,25 @@ def main():
         ref_file = os.path.join(REPO, "REF_BASELINE.json")
         if os.path.exists(ref_file):
             with open(ref_file) as f:
-                cpu_pairs = float(json.load(f)["pairs_per_s"])
-            base_src = "reference binary"
+                ref = json.load(f)
+            cpu_pairs = float(ref["pairs_per_s"])
+            # disclose the recorded measurement host so a stale/foreign
+            # baseline cannot silently inflate the speedup claim
+            base_src = (f"reference binary @ {ref.get('host', '?')}, "
+                        f"{ref.get('gallery', '?')}-gallery run")
+            ncpu = os.cpu_count()
+            if f"{ncpu} cores" not in str(ref.get("host", "")):
+                base_src += f" [current host: {ncpu} cores]"
         else:
             cpu_pairs = cpu_baseline_pairs_per_s()
-            base_src = "cost-model replica"
+            base_src = "cost-model replica (this host)"
         vs_baseline = latents_per_s / (cpu_pairs / G)
     except Exception:
         vs_baseline = float("nan")
 
     print(json.dumps({
         "metric": f"latents matched/s vs {G}-template PQ gallery "
-                  f"(1 chip; baseline: {base_src} on this host)",
+                  f"(1 chip; baseline: {base_src})",
         "value": round(latents_per_s, 4),
         "unit": "latents/s",
         "vs_baseline": round(vs_baseline, 2),

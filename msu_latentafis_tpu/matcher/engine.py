@@ -470,6 +470,173 @@ class MatchEngine:
         return jnp.swapaxes(scores, 0, 1).reshape(NL, nb * B)
 
     # ------------------------------------------------------------------
+    def _screen_all(self, lat: dict, gal: dict, tau: float = 0.0,
+                    normalize: bool = False) -> jnp.ndarray:
+        """Jitted screening pass: cheap MXU-only score [NL, G].
+
+        With ``tau=0``/``normalize=False`` the result is a strict upper
+        bound on the exact fused score (see fused_minu_screen /
+        fused_adc_screen): the exact score sums raw similarities of
+        one-to-one survivor sets, so summed row/col maxima bound each
+        component. Serving runs the exact VPU-heavy path only on the top-M
+        screened candidates (screen-then-rerank, docs/PERF.md).
+        """
+        B = self.block_size
+        G = gal["minu_des"].shape[0]
+        nb = G // B
+        dtype = self.compute_dtype
+        on_tpu = (self.force_tpu_path if self.force_tpu_path is not None
+                  else jax.default_backend() != "cpu")
+
+        NL, T, Lm, D = lat["minu_des"].shape
+        lat_minu_valid = (jnp.arange(Lm)[None, None, :]
+                          < lat["minu_n"][:, :, None]).astype(jnp.float32)
+        Lt = lat["tex_des"].shape[1]
+        lat_tex_valid = (jnp.arange(Lt)[None, :]
+                         < lat["tex_n"][:, None]).astype(jnp.float32)
+        lat_sqnorm = jnp.sum(lat["tex_des"].astype(jnp.float32) ** 2, -1)
+        if "minu_scale" in gal:
+            lat_minu_des = (lat["minu_des"].astype(jnp.float32)
+                            * gal["minu_scale"][0]).astype(dtype)
+        else:
+            lat_minu_des = lat["minu_des"].astype(dtype)
+        fl_des = lat_minu_des.reshape(NL * T, Lm, D)
+        fl_valid = lat_minu_valid.reshape(NL * T, Lm)
+
+        def get_block(i):
+            return {k: jax.lax.dynamic_slice_in_dim(v, i * B, B, axis=0)
+                    for k, v in gal.items() if k != "minu_scale"}
+
+        def step(carry, i):
+            blk = get_block(i)
+            Rm = blk["minu_des"].shape[2]
+            rol_minu_valid = (jnp.arange(Rm)[None, :]
+                              < blk["minu_n"][:, None]).astype(jnp.float32)
+            Rt = blk["tex_sqnorm"].shape[1]
+            rol_tex_valid = (jnp.arange(Rt)[None, :]
+                             < blk["tex_n"][:, None]).astype(jnp.float32)
+
+            s_minu = pk.fused_minu_screen(
+                fl_des, fl_valid, blk["minu_des"], rol_minu_valid,
+                normalize=normalize,
+                interpret=not on_tpu).reshape(NL, T, B).sum(axis=1)
+
+            if "tex_codes_t" in blk:
+                codes = jnp.swapaxes(blk["tex_codes_t"], 1, 2)
+                decoded_t = jnp.swapaxes(self._decode(codes), 1, 2)
+            elif "tex_dec" in blk:
+                decoded_t = blk["tex_dec"]
+            else:
+                codes = blk["tex_codes"].reshape(B, Rt, -1)
+                decoded_t = jnp.swapaxes(self._decode(codes), 1, 2)
+            if decoded_t.dtype == jnp.int8:
+                x_eff = (lat["tex_des"].astype(jnp.float32)
+                         * self._tex_scale_g).astype(dtype)
+            else:
+                x_eff = lat["tex_des"].astype(dtype)
+            s_tex = pk.fused_adc_screen(
+                x_eff, lat_sqnorm, lat_tex_valid, decoded_t,
+                blk["tex_sqnorm"], rol_tex_valid, tau=tau,
+                interpret=not on_tpu)                        # [NL, B]
+
+            screen = s_minu + MC.TEXTURE_SCORE_WEIGHT * s_tex
+            nonempty = (blk["minu_n"] > 0) | (blk["tex_n"] > 0)
+            return carry, jnp.where(nonempty[None, :], screen, -1.0)
+
+        _, scores = jax.lax.scan(step, None, jnp.arange(nb))
+        return jnp.swapaxes(scores, 0, 1).reshape(NL, nb * B)
+
+    def _screen_fn(self, tau: float, normalize: bool):
+        key = ("screen", tau, normalize)
+        if key not in self._fn_cache:
+            self._fn_cache[key] = jax.jit(functools.partial(
+                self._screen_all, tau=tau, normalize=normalize))
+        return self._fn_cache[key]
+
+    def screen_scores_batch(self, latents: Sequence[PackedLatent],
+                            gallery: "DeviceGallery", tau: float = 0.0,
+                            normalize: bool = False) -> jax.Array:
+        """Screening scores [NL, G_padded] for a batch of latents."""
+        return self._screen_fn(tau, normalize)(
+            self._latent_dict(latents), self._gallery_dict(gallery))
+
+    # ------------------------------------------------------------------
+    def _gather_fn(self, m_pad: int):
+        """Cached jitted sub-gallery gather: rows of every gallery array at
+        ``idx`` (whole-row gathers lower to large-slice DMAs, unlike the
+        elementwise take_along_axis the layout rules warn about)."""
+        key = ("gather", m_pad)
+        if key not in self._fn_cache:
+            @jax.jit
+            def gather(gal: dict, idx: jax.Array) -> dict:
+                out = {k: jnp.take(v, idx, axis=0)
+                       for k, v in gal.items() if k != "minu_scale"}
+                if "minu_scale" in gal:
+                    out["minu_scale"] = gal["minu_scale"]
+                return out
+            self._fn_cache[key] = gather
+        return self._fn_cache[key]
+
+    def match_scores_batch_reranked(
+            self, latents: Sequence[PackedLatent], gallery: "DeviceGallery",
+            m: int = 512, tau: float = 0.0, normalize: bool = False,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Screen-then-rerank serving path.
+
+        1. screen every (latent, gallery) pair with the MXU-only kernels;
+        2. take the top-``m`` screened candidates per latent;
+        3. run the exact dense path (graph filters included) on just those.
+
+        Returns (idx [NL, m], exact [NL, m], margin [NL]): per latent the
+        reranked candidate indices, their exact scores, and the
+        certification margin = exact_24th - max screen outside the top-m.
+        With the default bound screen (tau=0, normalize=False), margin >= 0
+        PROVES the exact top-24 is contained in the rerank set (screen
+        upper-bounds exact, so every excluded entry scores below the kept
+        24th). Negative margins mean containment is only probable — widen m.
+        """
+        B = self.block_size
+        lat_d = self._latent_dict(latents)
+        gal_d = self._gallery_dict(gallery)
+        NL = lat_d["minu_des"].shape[0]
+        screen = self._screen_fn(tau, normalize)(lat_d, gal_d)
+        G = screen.shape[1]
+        m_eff = min(m, G)
+        m_pad = ((m_eff + B - 1) // B) * B
+        m_pad = min(m_pad, G)
+
+        topv, topi = jax.lax.top_k(screen, min(m_pad + 1, G))
+        topi_np = np.asarray(topi)
+        # max screen value OUTSIDE the rerank set (certification threshold)
+        outside = (np.asarray(topv[:, m_pad]) if m_pad < G
+                   else np.full((NL,), -np.inf, np.float32))
+
+        gather = self._gather_fn(m_pad)
+        exact = np.zeros((NL, m_pad), np.float32)
+        for li in range(NL):
+            sub = gather(gal_d, topi[li, :m_pad])
+            one = {k: v[li:li + 1] for k, v in lat_d.items()}
+            exact[li] = np.asarray(self._match_fn(one, sub))[0]
+        order = np.argsort(-exact, axis=1, kind="stable")
+        k24 = min(24, m_pad) - 1
+        margin = exact[np.arange(NL), order[:, k24]] - outside
+        return topi_np[:, :m_pad], exact, margin
+
+    def one_to_list_reranked(self, latent: PackedLatent,
+                             gallery: "DeviceGallery", m: int = 512,
+                             **kw) -> "MatchResult":
+        """1:N with screen-then-rerank: exact scores for the top-m screened
+        candidates, -1.0 (the reference's skip marker) elsewhere — the
+        top-24 rank list equals the dense path's whenever the certification
+        margin is >= 0."""
+        idx, exact, _ = self.match_scores_batch_reranked(
+            [latent], gallery, m=m, **kw)
+        scores = np.full((len(gallery.names),), -1.0, np.float32)
+        keep = idx[0] < gallery.n_real
+        scores[idx[0][keep]] = exact[0][keep]
+        return MatchResult(scores=scores, names=gallery.names)
+
+    # ------------------------------------------------------------------
     @staticmethod
     def _latent_dict(lats: Sequence[PackedLatent]) -> dict:
         """Stack a batch of same-shape latents with a leading NL axis."""

@@ -1075,6 +1075,149 @@ def fused_texture_match(best, bestj, lat_validf, lpackT, rpackT,
     return out[..., 0]
 
 
+def _adc_screen_kernel(x_ref, lcorr_ref, dect_ref, rsq_ref, tvalid_ref,
+                       out_ref):
+    # Screening variant of _adc_rowmax_kernel: per (latent, entry) it emits
+    # ONE scalar — sum_i clamp(rowmax_i - tau, 0) — instead of the [Lt]
+    # maxima + argmax planes. rowmax_i(2 dots + 6 - lsq_i - rsq_j) is
+    # refactored as max_j(2 dots - rsq_j) + (6 - lsq_i - tau): the per-j
+    # correction runs once per [C*Lt, Rt] matrix (2 VPU passes) and the
+    # per-i part on the reduced [C*Lt] vector. lcorr pre-packs
+    # (6 - lsq - tau) with invalid latent rows forced to -1e30 (clamp -> 0).
+    CLt, D = x_ref.shape
+    E = dect_ref.shape[0]
+    C, _, _ = out_ref.shape
+    Lt = CLt // C
+    x = x_ref[...]
+    lcorr = lcorr_ref[...]                   # [C*Lt, 1]
+    for e in range(E):
+        dect = dect_ref[e]
+        if dect.dtype != x.dtype:
+            dect = dect.astype(x.dtype)
+        dots = jnp.dot(x, dect, preferred_element_type=jnp.float32)
+        m = 2.0 * dots - rsq_ref[e, 0, :][None, :]
+        m = m + (tvalid_ref[e, 0, :][None, :] - 1.0) * (-NEG_BIG)
+        row = jnp.max(m, axis=1, keepdims=True)            # [C*Lt, 1]
+        contrib = jnp.maximum(row + lcorr, 0.0)
+        out_ref[:, e, :] = jnp.sum(contrib.reshape(C, Lt), axis=1,
+                                   keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("entries_per_step", "tau",
+                                             "interpret"))
+def fused_adc_screen(x: jnp.ndarray, lat_sqnorm: jnp.ndarray,
+                     lat_validf: jnp.ndarray, dect: jnp.ndarray,
+                     rol_sqnorm: jnp.ndarray, rol_valid: jnp.ndarray,
+                     entries_per_step: int = 8, tau: float = 0.0,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Texture screening score: sum_i max(rowmax_i - tau, 0) per pair.
+
+    With tau=0 this is a strict upper bound on the exact texture score
+    (survivors are one-to-one on latent rows, each term <= its row max —
+    matcher.cpp:723-781); tau>0 is the soft-threshold variant that
+    suppresses the impostor common-mode. x: [NL, Lt, D] (compute dtype,
+    any dequant scale folded in); lat_sqnorm/lat_validf: [NL, Lt] f32;
+    dect: [B, D, Rt]; rol_sqnorm/rol_valid: [B, Rt] f32.
+    Returns [NL, B] f32.
+    """
+    NL, Lt, D = x.shape
+    B, D2, Rt = dect.shape
+    assert D == D2
+    E = _adc_entries_per_step(B, entries_per_step)
+    rsq = rol_sqnorm.reshape(B, 1, Rt)
+    tva = rol_valid.astype(jnp.float32).reshape(B, 1, Rt)
+    C = _adc_latent_chunk(NL, Lt, Rt, entries=E)
+    assert_mosaic_block_legal((C, E, 1), (NL, B, 1), "adc_screen out")
+    assert_mosaic_block_legal((C * Lt, D), (NL * Lt, D), "adc_screen x")
+    lcorr = jnp.where(lat_validf > 0, 6.0 - lat_sqnorm - tau, NEG_BIG)
+
+    out = pl.pallas_call(
+        _adc_screen_kernel,
+        grid=(B // E, NL // C),
+        in_specs=[
+            pl.BlockSpec((C * Lt, D), lambda b, c: (c, 0)),
+            pl.BlockSpec((C * Lt, 1), lambda b, c: (c, 0)),
+            pl.BlockSpec((E, D, Rt), lambda b, c: (b, 0, 0)),
+            pl.BlockSpec((E, 1, Rt), lambda b, c: (b, 0, 0)),
+            pl.BlockSpec((E, 1, Rt), lambda b, c: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((C, E, 1), lambda b, c: (c, b, 0)),
+        out_shape=jax.ShapeDtypeStruct((NL, B, 1), jnp.float32),
+        interpret=interpret,
+    )(x.reshape(NL * Lt, D), lcorr.reshape(NL * Lt, 1), dect, rsq, tva)
+    return out[..., 0]
+
+
+def _minu_screen_kernel(normalize: bool, tile_b: int):
+    def kernel(lat_ref, lvalid_ref, rol_ref, rvalid_ref, out_ref):
+        # lat: [P, D]; lvalid: [P, 1]; rol: [tile_b, D, R];
+        # rvalid: [tile_b, 1, R]; out: [tile_b, 1]
+        lat = lat_ref[...]
+        lvalid = lvalid_ref[...]                           # [P, 1]
+        vals = []
+        for s in range(tile_b):
+            rol = rol_ref[s]
+            if rol.dtype != lat.dtype:
+                rol = rol.astype(lat.dtype)
+            sims = jnp.dot(lat, rol, preferred_element_type=jnp.float32)
+            sims = jnp.maximum(sims, 0.0)
+            sims = sims * lvalid * rvalid_ref[s]           # [P, R]
+            if normalize:
+                row = jnp.sum(sims, axis=1, keepdims=True)
+                col = jnp.sum(sims, axis=0, keepdims=True)
+                sims = sims / (row + col - sims + 1e-6)
+                sims = sims * lvalid * rvalid_ref[s]
+            rb = jnp.sum(jnp.max(sims, axis=1))
+            cb = jnp.sum(jnp.max(sims, axis=0))
+            vals.append(jnp.minimum(rb, cb))
+        out_ref[...] = jnp.stack(vals)[:, None]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("normalize", "tile_b",
+                                             "interpret"))
+def fused_minu_screen(lat_des, lat_validf, rol_des_t, rol_validf,
+                      normalize: bool = False, tile_b: int = 0,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Minutiae screening score per (template, gallery entry).
+
+    min(sum_i rowmax, sum_j colmax) of the clamped similarity — a strict
+    upper bound on the exact filtered score when ``normalize=False`` (the
+    exact score sums RAW similarities of a one-to-one survivor set,
+    matcher.cpp:471-515); ``normalize=True`` scores the mutual-normalized
+    matrix instead (the quantity the top-120 selection ranks by — a
+    correlation heuristic, not a bound).
+
+    lat_des: [NT, P, D] (compute dtype); lat_validf: [NT, P] f32;
+    rol_des_t: [B, D, R] (may be int8); rol_validf: [B, R] f32.
+    Returns [NT, B] f32.
+    """
+    NT, P, D = lat_des.shape
+    B, D2, R = rol_des_t.shape
+    assert D == D2
+    if tile_b == 0:
+        tile_b = 32 if B % 32 == 0 else 8
+    tile_b = _adc_entries_per_step(B, tile_b)
+    assert_mosaic_block_legal((None, tile_b, 1), (NT, B, 1), "minu_screen")
+
+    out = pl.pallas_call(
+        _minu_screen_kernel(normalize, tile_b),
+        grid=(B // tile_b, NT),
+        in_specs=[
+            pl.BlockSpec((None, P, D), lambda b, t: (t, 0, 0)),
+            pl.BlockSpec((None, P, 1), lambda b, t: (t, 0, 0)),
+            pl.BlockSpec((tile_b, D, R), lambda b, t: (b, 0, 0)),
+            pl.BlockSpec((tile_b, 1, R), lambda b, t: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((None, tile_b, 1), lambda b, t: (t, b, 0)),
+        out_shape=jax.ShapeDtypeStruct((NT, B, 1), jnp.float32),
+        interpret=interpret,
+    )(lat_des, lat_validf.reshape(NT, P, 1), rol_des_t,
+      rol_validf.reshape(B, 1, R))
+    return out[..., 0]
+
+
 def _adc_rowmax_codes_kernel(n_clusters: int):
     def kernel(x_ref, lsq_ref, codes_ref, tdec_ref, rsq_ref, tvalid_ref,
                best_ref, bestj_ref, dect_ref):
@@ -1173,10 +1316,12 @@ def fused_adc_rowmax_codes(x: jnp.ndarray, lat_sqnorm: jnp.ndarray,
     return best, bestj
 
 
-@functools.partial(jax.jit, static_argnames=("entries_per_step", "interpret"))
+@functools.partial(jax.jit, static_argnames=("entries_per_step", "interpret",
+                                             "latent_chunk", "vmem_limit_mb"))
 def fused_adc_rowmax(x: jnp.ndarray, lat_sqnorm: jnp.ndarray,
                      dect: jnp.ndarray, rol_sqnorm: jnp.ndarray,
                      rol_valid: jnp.ndarray, entries_per_step: int = 8,
+                     latent_chunk: int = 0, vmem_limit_mb: int = 0,
                      interpret: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Row maxima of the ADC similarity without materializing it.
 
@@ -1192,7 +1337,7 @@ def fused_adc_rowmax(x: jnp.ndarray, lat_sqnorm: jnp.ndarray,
     E = _adc_entries_per_step(B, entries_per_step)
     rsq = rol_sqnorm.reshape(B, 1, Rt)
     tva = rol_valid.astype(jnp.float32).reshape(B, 1, Rt)
-    C = _adc_latent_chunk(NL, Lt, Rt, entries=E)
+    C = latent_chunk or _adc_latent_chunk(NL, Lt, Rt, entries=E)
     assert_mosaic_block_legal((C, E, Lt), (NL, B, Lt), "adc_rowmax out")
     assert_mosaic_block_legal((C * Lt, D), (NL * Lt, D), "adc_rowmax x")
 
@@ -1217,6 +1362,9 @@ def fused_adc_rowmax(x: jnp.ndarray, lat_sqnorm: jnp.ndarray,
             jax.ShapeDtypeStruct((NL, B, Lt), jnp.float32),
             jax.ShapeDtypeStruct((NL, B, Lt), jnp.int32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit_mb * 1024 * 1024)
+        if vmem_limit_mb and not interpret else None,
         interpret=interpret,
     )(x.reshape(NL * Lt, D), lat_sqnorm.reshape(NL * Lt, 1), dect, rsq, tva)
     return best, bestj

@@ -225,11 +225,15 @@ def main(argv=None):
         _, v = pretrain_enhancement(steps=args.steps)
         save_checkpoint(os.path.join(args.out, "enhancement"), v)
     if args.which in ("all", "descriptor"):
-        # steps=0 is pool-prebuild-only mode (PRETRAIN_POOL_DIR caching)
+        # steps=0 is pool-prebuild-only mode (PRETRAIN_POOL_DIR caching):
+        # it returns untrained random-init weights, so saving would
+        # clobber previously-trained descriptor checkpoints
         _, v = pretrain_descriptor(
             steps=max(100, args.steps // 2) if args.steps else 0)
-        for pt in (2, 8, 11):
-            save_checkpoint(os.path.join(args.out, f"descriptor_patch{pt}"), v)
+        if args.steps:
+            for pt in (2, 8, 11):
+                save_checkpoint(os.path.join(args.out,
+                                             f"descriptor_patch{pt}"), v)
     if args.which in ("all", "compnet"):
         _, v = pretrain_compnet(steps=args.steps)
         save_checkpoint(os.path.join(args.out, "compnet"), v)

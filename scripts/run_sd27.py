@@ -54,6 +54,9 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--ckpt", default="checkpoints/standin")
     p.add_argument("--out", default="/tmp/sd27")
+    p.add_argument("--record", action="store_true",
+                   help="overwrite the committed results/sd27/results.txt "
+                        "acceptance artifact with this run's outcome")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (leaves the TPU tunnel free; "
                         "the 6-image run is host-feasible)")
@@ -151,12 +154,15 @@ def main():
 
     with open(os.path.join(args.out, "results.txt"), "w") as f:
         f.write("\n".join(lines) + "\n")
-    # record the committed acceptance artifact (tests/test_sd27.py pins it)
-    repo_res = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "results", "sd27")
-    os.makedirs(repo_res, exist_ok=True)
-    with open(os.path.join(repo_res, "results.txt"), "w") as f:
-        f.write("\n".join(lines) + "\n")
+    if args.record:
+        # record the committed acceptance artifact (tests/test_sd27.py pins
+        # it) — only on explicit request, so experimental/--cpu/broken-
+        # checkpoint runs cannot silently clobber the pinned results
+        repo_res = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "results", "sd27")
+        os.makedirs(repo_res, exist_ok=True)
+        with open(os.path.join(repo_res, "results.txt"), "w") as f:
+            f.write("\n".join(lines) + "\n")
 
 
 if __name__ == "__main__":

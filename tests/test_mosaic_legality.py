@@ -156,3 +156,24 @@ def test_match_all_lowers_tpu_codes_resident():
     _export_tpu(eng._match_all, _lat_avals(),
                 _gal_avals(G, dict(tex_codes_t=_aval((G, 16, RT),
                                                      jnp.uint8))))
+
+
+def test_screen_kernels_lower_at_bench_shapes():
+    _export_tpu(
+        lambda x, sq, lv, dect, rsq, rv: pk.fused_adc_screen(
+            x, sq, lv, dect, rsq, rv, tau=3.0),
+        _aval((NL, LT, D), jnp.bfloat16), _aval((NL, LT)), _aval((NL, LT)),
+        _aval((B, D, RT), jnp.int8), _aval((B, RT)), _aval((B, RT)))
+    for normalize in (False, True):
+        _export_tpu(
+            lambda ld, lv, rd, rv, n=normalize: pk.fused_minu_screen(
+                ld, lv, rd, rv, normalize=n),
+            _aval((NL * T, LM, D), jnp.bfloat16), _aval((NL * T, LM)),
+            _aval((B, D, RM), jnp.bfloat16), _aval((B, RM)))
+
+
+def test_screen_all_lowers_tpu_bench_config():
+    eng = _bench_engine(tex_int8=True)
+    G = 2 * B
+    _export_tpu(eng._screen_all, _lat_avals(),
+                _gal_avals(G, dict(tex_dec=_aval((G, D, RT), jnp.int8))))
