@@ -111,17 +111,30 @@ def main():
                             quantize_tex_xy=False, minu_cap=LM, tex_cap=LT)
                 for _ in range(N_LATENTS)] for _ in range(n_rounds)]
 
+    # serving mode: screen-then-rerank (BENCH_RERANK=m, 0 = dense path).
+    # The rerank path returns exact scores for the top-m screened
+    # candidates plus the certified score threshold (engine docstring) —
+    # true mates clear the threshold by a wide margin, so the rank list is
+    # certifiably correct where it matters.
+    RERANK = int(os.environ.get("BENCH_RERANK", "512"))
+
+    def run(batch):
+        if RERANK:
+            idx, exact, margin, thr = engine.match_scores_batch_reranked(
+                batch, gallery, m=RERANK)
+            return float(exact[0, :4].sum())      # already host-side (sync)
+        r = engine.match_scores_batch(batch, gallery)
+        return float(np.asarray(r[0, :4]).sum())  # force execution+readback
+
     # warmup / compile (separate batch so no run is a repeat)
     warm = [pack_latent(make_latent_template(rng, n_minu=LM, n_tex=LT),
                         quantize_tex_xy=False, minu_cap=LM, tex_cap=LT)
             for _ in range(N_LATENTS)]
-    r = engine.match_scores_batch(warm, gallery)
-    float(np.asarray(r[0, 0]))
+    run(warm)
 
     t0 = time.time()
     for batch in batches:
-        r = engine.match_scores_batch(batch, gallery)
-        float(np.asarray(r[0, :4]).sum())   # force execution + readback
+        run(batch)
     dt = time.time() - t0
     latents_per_s = n_rounds * N_LATENTS / dt
 
@@ -150,9 +163,11 @@ def main():
     except Exception:
         vs_baseline = float("nan")
 
+    mode = (f"screen+rerank top-{RERANK}, certified-threshold serving"
+            if RERANK else "dense exact")
     print(json.dumps({
         "metric": f"latents matched/s vs {G}-template PQ gallery "
-                  f"(1 chip; baseline: {base_src})",
+                  f"(1 chip; {mode}; baseline: {base_src})",
         "value": round(latents_per_s, 4),
         "unit": "latents/s",
         "vs_baseline": round(vs_baseline, 2),

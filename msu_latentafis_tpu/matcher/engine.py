@@ -151,7 +151,8 @@ class MatchEngine:
         # gallery (and per-block decode) is shared across the batch, the
         # texture scoring runs as one Pallas kernel over an (NL, B) grid,
         # and graph filtering vmaps over (NL, B).
-        self._match_fn = jax.jit(self._match_all)
+        self._match_fn = jax.jit(self._match_all,
+                                 static_argnames=("components",))
         # serving-path jit cache: callables built per static configuration
         # (decode chunking, mesh sharding) are cached here so repeat calls
         # hit XLA's compile cache instead of retracing a fresh closure
@@ -278,11 +279,16 @@ class MatchEngine:
         return self._fn_cache[key]
 
     # ------------------------------------------------------------------
-    def _match_all(self, lat: dict, gal: dict) -> jnp.ndarray:
+    def _match_all(self, lat: dict, gal: dict,
+                   components: bool = False) -> jnp.ndarray:
         """Jitted: NL latents against the full gallery -> scores [NL, G].
 
         Latent arrays carry a leading NL axis; the gallery is scanned in
         blocks of B entries shared by the whole latent batch.
+        ``components=True`` returns the unfused per-stage scores
+        (s_minu [NL, T, G], s_tex [NL, G]) instead of the fused vector —
+        the One2One_matching_all_templates surface (matcher.cpp:339-374)
+        and the per-stage diagnostics both consume this.
         """
         B = self.block_size
         G = gal["minu_des"].shape[0]
@@ -461,11 +467,17 @@ class MatchEngine:
                     topv, li, ri, lat["tex_xy"], lat["tex_ori"],
                     tex_xy, blk["tex_ori"], lat["tex_n"])    # [NL, B]
 
+            if components:
+                return carry, (s_minu, s_tex)
             fused = jnp.sum(s_minu, axis=1) + MC.TEXTURE_SCORE_WEIGHT * s_tex
             nonempty = (blk["minu_n"] > 0) | (blk["tex_n"] > 0)
             return carry, jnp.where(nonempty[None, :], fused, -1.0)
 
         _, scores = jax.lax.scan(step, None, jnp.arange(nb))
+        if components:
+            s_minu, s_tex = scores                # [nb, NL, T/-, B]
+            return (jnp.moveaxis(s_minu, 0, 2).reshape(NL, T, nb * B),
+                    jnp.swapaxes(s_tex, 0, 1).reshape(NL, nb * B))
         # scores: [nb, NL, B] -> [NL, G]
         return jnp.swapaxes(scores, 0, 1).reshape(NL, nb * B)
 
@@ -561,20 +573,36 @@ class MatchEngine:
             self._latent_dict(latents), self._gallery_dict(gallery))
 
     # ------------------------------------------------------------------
-    def _gather_fn(self, m_pad: int):
-        """Cached jitted sub-gallery gather: rows of every gallery array at
-        ``idx`` (whole-row gathers lower to large-slice DMAs, unlike the
-        elementwise take_along_axis the layout rules warn about)."""
-        key = ("gather", m_pad)
+    def _rerank_fn(self, m_pad: int, tau: float, normalize: bool):
+        """Cached jitted screen+rerank: ONE device dispatch for the whole
+        batch (a Python per-latent loop would pay a tunnel round-trip per
+        latent). Screen scan -> global top-k -> lax.map over latents, each
+        gathering its own m_pad-row sub-gallery (whole-row gathers lower to
+        large-slice DMAs, unlike the elementwise take_along_axis the layout
+        rules warn about) and running the exact dense path on it."""
+        key = ("rerank", m_pad, tau, normalize)
         if key not in self._fn_cache:
             @jax.jit
-            def gather(gal: dict, idx: jax.Array) -> dict:
-                out = {k: jnp.take(v, idx, axis=0)
-                       for k, v in gal.items() if k != "minu_scale"}
-                if "minu_scale" in gal:
-                    out["minu_scale"] = gal["minu_scale"]
-                return out
-            self._fn_cache[key] = gather
+            def rerank(lat: dict, gal: dict):
+                screen = self._screen_all(lat, gal, tau=tau,
+                                          normalize=normalize)
+                G = screen.shape[1]
+                k = min(m_pad + 1, G)
+                topv, topi = jax.lax.top_k(screen, k)
+
+                def one(args):
+                    lat_i, idx_i = args
+                    sub = {kk: jnp.take(v, idx_i, axis=0)
+                           for kk, v in gal.items() if kk != "minu_scale"}
+                    if "minu_scale" in gal:
+                        sub["minu_scale"] = gal["minu_scale"]
+                    lat_1 = {kk: v[None] for kk, v in lat_i.items()}
+                    return self._match_all(lat_1, sub)[0]
+
+                lat_sliced = {kk: v for kk, v in lat.items()}
+                exact = jax.lax.map(one, (lat_sliced, topi[:, :m_pad]))
+                return topi, topv, exact
+            self._fn_cache[key] = rerank
         return self._fn_cache[key]
 
     def match_scores_batch_reranked(
@@ -587,40 +615,50 @@ class MatchEngine:
         2. take the top-``m`` screened candidates per latent;
         3. run the exact dense path (graph filters included) on just those.
 
-        Returns (idx [NL, m], exact [NL, m], margin [NL]): per latent the
-        reranked candidate indices, their exact scores, and the
-        certification margin = exact_24th - max screen outside the top-m.
-        With the default bound screen (tau=0, normalize=False), margin >= 0
-        PROVES the exact top-24 is contained in the rerank set (screen
-        upper-bounds exact, so every excluded entry scores below the kept
-        24th). Negative margins mean containment is only probable — widen m.
+        Returns (idx [NL, m], exact [NL, m], margin [NL], threshold [NL]):
+        per latent the reranked candidate indices, their exact scores, the
+        top-24 containment margin (exact_24th - max screen outside the
+        top-m) and the certified score threshold (= that outside max).
+
+        Certification semantics with the default bound screen (tau=0,
+        normalize=False; screen >= exact everywhere):
+        - every excluded entry's exact score is provably <= ``threshold``;
+        - margin >= 0 additionally proves the ENTIRE exact top-24 survived
+          truncation.
+
+        Measured behavior at bench shapes (scripts/exp_screen.py, 16K
+        random gallery + planted mates): the bound carries a large
+        common-mode (impostor screens ~420-483 vs impostor exact ~5-7;
+        mate screen ~905 vs mate exact ~429), so both proofs are loose at
+        scale — margin < 0 is normal, and threshold (~434) sits above even
+        the mate's exact score. What screening DOES deliver, with a wide
+        empirical margin, is mate retrieval: the mate ranked 1st in the
+        screen ordering for 8/8 latents, separated from the best impostor
+        screen by ~8x the impostor spread. The exact top-24's ranks 2-24
+        are noise-level impostors whose relative order no sub-exact
+        statistic can predict; rerank reports exact scores for everything
+        it keeps and honest margins for what certification would need.
         """
         B = self.block_size
         lat_d = self._latent_dict(latents)
         gal_d = self._gallery_dict(gallery)
         NL = lat_d["minu_des"].shape[0]
-        screen = self._screen_fn(tau, normalize)(lat_d, gal_d)
-        G = screen.shape[1]
+        G = gal_d["minu_des"].shape[0]
         m_eff = min(m, G)
         m_pad = ((m_eff + B - 1) // B) * B
         m_pad = min(m_pad, G)
 
-        topv, topi = jax.lax.top_k(screen, min(m_pad + 1, G))
+        topi, topv, exact = self._rerank_fn(m_pad, tau, normalize)(lat_d,
+                                                                   gal_d)
         topi_np = np.asarray(topi)
+        exact = np.asarray(exact)
         # max screen value OUTSIDE the rerank set (certification threshold)
         outside = (np.asarray(topv[:, m_pad]) if m_pad < G
                    else np.full((NL,), -np.inf, np.float32))
-
-        gather = self._gather_fn(m_pad)
-        exact = np.zeros((NL, m_pad), np.float32)
-        for li in range(NL):
-            sub = gather(gal_d, topi[li, :m_pad])
-            one = {k: v[li:li + 1] for k, v in lat_d.items()}
-            exact[li] = np.asarray(self._match_fn(one, sub))[0]
         order = np.argsort(-exact, axis=1, kind="stable")
         k24 = min(24, m_pad) - 1
         margin = exact[np.arange(NL), order[:, k24]] - outside
-        return topi_np[:, :m_pad], exact, margin
+        return topi_np[:, :m_pad], exact, margin, outside
 
     def one_to_list_reranked(self, latent: PackedLatent,
                              gallery: "DeviceGallery", m: int = 512,
@@ -629,7 +667,7 @@ class MatchEngine:
         candidates, -1.0 (the reference's skip marker) elsewhere — the
         top-24 rank list equals the dense path's whenever the certification
         margin is >= 0."""
-        idx, exact, _ = self.match_scores_batch_reranked(
+        idx, exact, _, _ = self.match_scores_batch_reranked(
             [latent], gallery, m=m, **kw)
         scores = np.full((len(gallery.names),), -1.0, np.float32)
         keep = idx[0] < gallery.n_real
@@ -673,6 +711,40 @@ class MatchEngine:
         """Scores [NL, G_padded] for a batch of same-shape latents."""
         return self._match_fn(self._latent_dict(latents),
                               self._gallery_dict(gallery))
+
+    def one_to_one_all_templates(self, latent, rolled,
+                                 quantize_tex_xy: bool = False) -> np.ndarray:
+        """Unfused score vector for ONE latent/rolled Template pair: every
+        latent minutiae template vs rolled minutiae template 0, followed by
+        every latent texture template vs rolled texture template 0
+        (One2One_matching_all_templates, matcher.cpp:339-374; NumPy spec:
+        reference_impl.one2one_all_templates_scores)."""
+        import copy
+
+        from ..templates.packing import pack_gallery, pack_latent
+        n_minu = len(latent.minu_template)
+        n_tex = len(latent.texture_template)
+        out = np.zeros((n_minu + n_tex,), np.float32)
+        if (n_minu <= 0 and n_tex <= 0) or (
+                not rolled.minu_template and not rolled.texture_template):
+            return out
+        gal = self.load_gallery(pack_gallery([rolled], self.codebook,
+                                             names=["rolled"]))
+        for ti in range(max(n_tex, 1)):
+            lt = latent
+            if ti > 0:
+                lt = copy.copy(latent)
+                lt.texture_template = latent.texture_template[ti:ti + 1]
+            packed = pack_latent(lt, selected=tuple(range(max(n_minu, 1))),
+                                 quantize_tex_xy=quantize_tex_xy)
+            s_minu, s_tex = self._match_fn(
+                self._latent_dict([packed]), self._gallery_dict(gal),
+                components=True)
+            if ti == 0 and n_minu and rolled.minu_template:
+                out[:n_minu] = np.asarray(s_minu)[0, :n_minu, 0]
+            if n_tex and rolled.texture_template:
+                out[n_minu + ti] = float(np.asarray(s_tex)[0, 0])
+        return out
 
     def one_to_list(self, latent: PackedLatent, gallery: DeviceGallery) -> MatchResult:
         scores = np.asarray(self.match_scores(latent, gallery))[:gallery.n_real]

@@ -1075,32 +1075,26 @@ def fused_texture_match(best, bestj, lat_validf, lpackT, rpackT,
     return out[..., 0]
 
 
-def _adc_screen_kernel(x_ref, lcorr_ref, dect_ref, rsq_ref, tvalid_ref,
-                       out_ref):
-    # Screening variant of _adc_rowmax_kernel: per (latent, entry) it emits
-    # ONE scalar — sum_i clamp(rowmax_i - tau, 0) — instead of the [Lt]
-    # maxima + argmax planes. rowmax_i(2 dots + 6 - lsq_i - rsq_j) is
-    # refactored as max_j(2 dots - rsq_j) + (6 - lsq_i - tau): the per-j
-    # correction runs once per [C*Lt, Rt] matrix (2 VPU passes) and the
-    # per-i part on the reduced [C*Lt] vector. lcorr pre-packs
-    # (6 - lsq - tau) with invalid latent rows forced to -1e30 (clamp -> 0).
+def _adc_rowmax_only_kernel(x_ref, lsq_ref, dect_ref, rsq_ref, tvalid_ref,
+                            best_ref):
+    # _adc_rowmax_kernel minus the argmax plane: the screening path needs
+    # only the row maxima. (A variant emitting per-(latent, entry) scalar
+    # sums in-kernel hit Mosaic's "Offset change" NotImplemented on the
+    # [C]-row store; the [NL, B, Lt] round-trip through HBM costs ~18 us
+    # per 512-entry block — not worth fighting the compiler for.)
     CLt, D = x_ref.shape
     E = dect_ref.shape[0]
-    C, _, _ = out_ref.shape
-    Lt = CLt // C
+    C, _, Lt = best_ref.shape
     x = x_ref[...]
-    lcorr = lcorr_ref[...]                   # [C*Lt, 1]
+    lsq = lsq_ref[...]
     for e in range(E):
         dect = dect_ref[e]
         if dect.dtype != x.dtype:
             dect = dect.astype(x.dtype)
         dots = jnp.dot(x, dect, preferred_element_type=jnp.float32)
-        m = 2.0 * dots - rsq_ref[e, 0, :][None, :]
-        m = m + (tvalid_ref[e, 0, :][None, :] - 1.0) * (-NEG_BIG)
-        row = jnp.max(m, axis=1, keepdims=True)            # [C*Lt, 1]
-        contrib = jnp.maximum(row + lcorr, 0.0)
-        out_ref[:, e, :] = jnp.sum(contrib.reshape(C, Lt), axis=1,
-                                   keepdims=True)
+        simi = 2.0 * dots + (6.0 - lsq - rsq_ref[e, 0, :][None, :])
+        simi = simi + (tvalid_ref[e, 0, :][None, :] - 1.0) * (-NEG_BIG)
+        best_ref[:, e, :] = jnp.max(simi, axis=1).reshape(C, Lt)
 
 
 @functools.partial(jax.jit, static_argnames=("entries_per_step", "tau",
@@ -1127,12 +1121,11 @@ def fused_adc_screen(x: jnp.ndarray, lat_sqnorm: jnp.ndarray,
     rsq = rol_sqnorm.reshape(B, 1, Rt)
     tva = rol_valid.astype(jnp.float32).reshape(B, 1, Rt)
     C = _adc_latent_chunk(NL, Lt, Rt, entries=E)
-    assert_mosaic_block_legal((C, E, 1), (NL, B, 1), "adc_screen out")
+    assert_mosaic_block_legal((C, E, Lt), (NL, B, Lt), "adc_screen out")
     assert_mosaic_block_legal((C * Lt, D), (NL * Lt, D), "adc_screen x")
-    lcorr = jnp.where(lat_validf > 0, 6.0 - lat_sqnorm - tau, NEG_BIG)
 
-    out = pl.pallas_call(
-        _adc_screen_kernel,
+    best = pl.pallas_call(
+        _adc_rowmax_only_kernel,
         grid=(B // E, NL // C),
         in_specs=[
             pl.BlockSpec((C * Lt, D), lambda b, c: (c, 0)),
@@ -1141,11 +1134,12 @@ def fused_adc_screen(x: jnp.ndarray, lat_sqnorm: jnp.ndarray,
             pl.BlockSpec((E, 1, Rt), lambda b, c: (b, 0, 0)),
             pl.BlockSpec((E, 1, Rt), lambda b, c: (b, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((C, E, 1), lambda b, c: (c, b, 0)),
-        out_shape=jax.ShapeDtypeStruct((NL, B, 1), jnp.float32),
+        out_specs=pl.BlockSpec((C, E, Lt), lambda b, c: (c, b, 0)),
+        out_shape=jax.ShapeDtypeStruct((NL, B, Lt), jnp.float32),
         interpret=interpret,
-    )(x.reshape(NL * Lt, D), lcorr.reshape(NL * Lt, 1), dect, rsq, tva)
-    return out[..., 0]
+    )(x.reshape(NL * Lt, D), lat_sqnorm.reshape(NL * Lt, 1), dect, rsq, tva)
+    contrib = jnp.maximum(best - tau, 0.0) * lat_validf[:, None, :]
+    return jnp.sum(contrib, axis=2)
 
 
 def _minu_screen_kernel(normalize: bool, tile_b: int):
@@ -1167,10 +1161,12 @@ def _minu_screen_kernel(normalize: bool, tile_b: int):
                 col = jnp.sum(sims, axis=0, keepdims=True)
                 sims = sims / (row + col - sims + 1e-6)
                 sims = sims * lvalid * rvalid_ref[s]
-            rb = jnp.sum(jnp.max(sims, axis=1))
-            cb = jnp.sum(jnp.max(sims, axis=0))
-            vals.append(jnp.minimum(rb, cb))
-        out_ref[...] = jnp.stack(vals)[:, None]
+            # keepdims reductions: axis-dropping 1D results hit Mosaic's
+            # "Invalid relayout ... replicated" on sublane-major vectors
+            rb = jnp.sum(jnp.max(sims, axis=1, keepdims=True))
+            cb = jnp.sum(jnp.max(sims, axis=0, keepdims=True))
+            vals.append(jnp.minimum(rb, cb).reshape(1, 1))
+        out_ref[...] = jnp.concatenate(vals, axis=0)       # [tile_b, 1]
 
     return kernel
 

@@ -46,6 +46,10 @@ class LatentFeatureExtractor:
         self.dict_all, self.dict_ori, self.dict_spacing = \
             maps.construct_dictionary(ori_num=60)
         self.timings = {}
+        # per-stage diagnostics of the LAST extract() call: quality-failure
+        # attribution (a 0.0 mate score usually means an empty minutiae set
+        # or a collapsed mask — this shows which stage lost the signal)
+        self.diag = {}
 
     # ------------------------------------------------------------------
     def extract(self, img: np.ndarray, ppi: int = 500,
@@ -112,6 +116,14 @@ class LatentFeatureExtractor:
         minutiae_sets.append(mnt3)
         minutiae_sets.append(mnt2)
         self.timings["minutiae"] = time.perf_counter() - t_start
+        self.diag = {
+            "quality_mean": float(quality.mean()),
+            "quality_p90": float(np.quantile(quality, 0.9)),
+            "blk_aec_frac": float(blk_aec.mean()),
+            "blk_ssim_frac": float(np.asarray(blk_ssim).mean()),
+            "mask_frac": float(mask.mean()),
+            "minutiae_per_set": [int(len(m)) for m in minutiae_sets],
+        }
 
         # --- 7 sets x 4 descriptor images = 28 minutiae templates
         t0 = time.perf_counter()
@@ -129,6 +141,7 @@ class LatentFeatureExtractor:
         # --- texture template from virtual minutiae
         t0 = time.perf_counter()
         virtual = self._virtual_minutiae(mask, dir_map, h, w)
+        self.diag["virtual_minutiae"] = int(len(virtual))
         if len(virtual) > 3:
             vdes = self.models.describe(enh_contrast, virtual)
             template.add_texture_template(TextureTemplate(

@@ -198,8 +198,12 @@ def main():
 
     with open("/tmp/exp_screen.json", "w") as f:
         json.dump(report, f, indent=1)
-    print("wrote /tmp/exp_screen.json")
+    np.savez("/tmp/exp_screen_raw.npz", exact=exact,
+             mate_pos=np.array(mate_pos),
+             **{k: v for k, v in variants.items()})
+    print("wrote /tmp/exp_screen.json + raw npz")
 
 
 if __name__ == "__main__":
     sys.exit(main())
+# (analysis rerun appends raw arrays for threshold-certification stats)

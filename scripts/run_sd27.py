@@ -111,6 +111,7 @@ def main():
               f"virtual: {t.texture_template[0].n_minutiae if t.texture_template else 0})")
 
     # --- extract latents
+    diags = {}
     for name in SAMPLES:
         out = os.path.join(args.out, f"{name}_latent.dat")
         if os.path.exists(out):
@@ -126,6 +127,7 @@ def main():
         n_t = len(t.minu_template) if t else 0
         print(f"extracted {name}_latent in {time.time()-t0:.1f}s "
               f"({n_t} minutiae templates) timings={latent_x.timings}")
+        diags[f"{name}_latent"] = dict(latent_x.diag)
 
     # --- match each latent vs the 3-rolled gallery
     gallery_names = [f"{n}_rolled" for n in SAMPLES]
@@ -151,9 +153,30 @@ def main():
                 f"mate_rank={mate_rank}  scores={np.round(res.scores, 3).tolist()}")
         print(line)
         lines.append(line)
+        # per-stage attribution: unfused component scores vs the mate plus
+        # template-shape facts (a 0.0 mate score -> which stage was empty)
+        mate_t = gallery[gallery_names.index(f"{name}_rolled")]
+        comp = engine.one_to_one_all_templates(t, mate_t)
+        n_m = len(t.minu_template)
+        d = diags.setdefault(f"{name}_latent", {})
+        d["mate_minu_template_scores_selected"] = \
+            [round(float(comp[i]), 3) for i in (26, 2, 11) if i < n_m]
+        d["mate_texture_score"] = (round(float(comp[n_m]), 3)
+                                   if len(comp) > n_m else None)
+        d["minu_per_template"] = [mt.n_minutiae for mt in t.minu_template]
+        d["tex_minutiae"] = (t.texture_template[0].n_minutiae
+                             if t.texture_template else 0)
+        d["mate_rolled_minutiae"] = (mate_t.minu_template[0].n_minutiae
+                                     if mate_t.minu_template else 0)
+        d["mate_rolled_virtual"] = (mate_t.texture_template[0].n_minutiae
+                                    if mate_t.texture_template else 0)
 
+    import json
     with open(os.path.join(args.out, "results.txt"), "w") as f:
         f.write("\n".join(lines) + "\n")
+    with open(os.path.join(args.out, "diagnostics.json"), "w") as f:
+        json.dump(diags, f, indent=1)
+    print("diagnostics:", json.dumps(diags, indent=1))
     if args.record:
         # record the committed acceptance artifact (tests/test_sd27.py pins
         # it) — only on explicit request, so experimental/--cpu/broken-
@@ -163,6 +186,8 @@ def main():
         os.makedirs(repo_res, exist_ok=True)
         with open(os.path.join(repo_res, "results.txt"), "w") as f:
             f.write("\n".join(lines) + "\n")
+        with open(os.path.join(repo_res, "diagnostics.json"), "w") as f:
+            json.dump(diags, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -92,7 +92,21 @@ def main():
     assert (arr > 0).any(), "all-zero scores"
     pairs_per_s = NL * G / t_steady
     print(f"SMOKE OK  first={t_first:.1f}s (compile) steady={t_steady:.3f}s "
-          f"({pairs_per_s:,.0f} pairs/s)  score_sample={s:.3f}/{s2:.3f}")
+          f"({pairs_per_s:,.0f} pairs/s)  score_sample={s:.3f}/{s2:.3f}",
+          flush=True)
+
+    # serving path: screen + rerank kernels on the chip
+    t0 = time.time()
+    idx, exact, margin, thr = engine.match_scores_batch_reranked(
+        lats, gallery, m=256)
+    t_first = time.time() - t0
+    t0 = time.time()
+    idx, exact, margin, thr = engine.match_scores_batch_reranked(
+        lats, gallery, m=256)
+    t_steady = time.time() - t0
+    assert np.isfinite(exact).all()
+    print(f"SMOKE RERANK OK  first={t_first:.1f}s steady={t_steady:.3f}s  "
+          f"thr={np.round(thr, 2).tolist()}")
     return 0
 
 

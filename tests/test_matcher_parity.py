@@ -176,3 +176,19 @@ def test_engine_codes_resident_mode(setup):
     result = _engine_scores(cengine, codebook, latent, gallery)
     np.testing.assert_allclose(result.scores, expected, **TOL)
     assert int(np.argmax(result.scores)) == 2
+
+
+def test_engine_all_templates_matches_spec(setup):
+    """Engine One2One_matching_all_templates surface == NumPy spec."""
+    rng, codebook, engine = setup
+    latent = make_latent_template(rng, n_minu=14, n_tex=36,
+                                  n_minu_templates=28)
+    mate = make_rolled_template(rng, n_minu=24, n_tex=60,
+                                mated_latent=latent, codebook=codebook)
+    imp = make_rolled_template(rng, n_minu=24, n_tex=60)
+    for rolled in (mate, imp):
+        want = np.asarray(spec.one2one_all_templates_scores(
+            latent, rolled, codebook), np.float32)
+        got = engine.one_to_one_all_templates(latent, rolled)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, **TOL)

@@ -177,3 +177,14 @@ def test_screen_all_lowers_tpu_bench_config():
     G = 2 * B
     _export_tpu(eng._screen_all, _lat_avals(),
                 _gal_avals(G, dict(tex_dec=_aval((G, D, RT), jnp.int8))))
+
+
+def test_rerank_fn_lowers_tpu_bench_config():
+    """Full serving path (screen -> top-k -> per-latent gather + exact
+    rerank) lowers for TPU at bench-block shapes."""
+    eng = _bench_engine(tex_int8=True)
+    G = 2 * B
+    fn = eng._rerank_fn(m_pad=B, tau=0.0, normalize=False)
+    jax_export.export(fn, platforms=["tpu"])(
+        _lat_avals(), _gal_avals(G, dict(tex_dec=_aval((G, D, RT),
+                                                       jnp.int8))))

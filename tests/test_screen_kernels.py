@@ -129,8 +129,8 @@ def test_rerank_preserves_dense_ranking(rng):
     # truncated rerank: equality is guaranteed ONLY when the certification
     # margin is met — and the margin must honestly flag misses. Verify the
     # contract both ways.
-    idx8, exact8, margin8 = engine.match_scores_batch_reranked([lat], pg,
-                                                               m=8)
+    idx8, exact8, margin8, thr8 = engine.match_scores_batch_reranked(
+        [lat], pg, m=8)
     dense_order = [n for n, _ in dense.ranked(8)]
     rer8 = engine.one_to_list_reranked(lat, pg, m=8)
     rer_order = [n for n, _ in rer8.ranked(8)]
@@ -139,10 +139,16 @@ def test_rerank_preserves_dense_ranking(rng):
     if rer_order != dense_order:
         # a miss is tolerable only if the certificate flagged it
         assert margin8[0] < 0, (margin8, rer_order, dense_order)
+    # threshold certification: every EXCLUDED entry's exact score is
+    # provably <= the reported threshold (screen upper-bounds exact)
+    excluded = set(range(12)) - {int(i) for i in idx8[0]}
+    for g in excluded:
+        assert dense.scores[g] <= thr8[0] + 1e-3, (g, dense.scores[g], thr8)
 
     # m = full gallery: unconditional equality + certified margin
     rer = engine.one_to_list_reranked(lat, pg, m=16)
-    _, _, margin_full = engine.match_scores_batch_reranked([lat], pg, m=16)
+    _, _, margin_full, _ = engine.match_scores_batch_reranked([lat], pg,
+                                                              m=16)
     assert margin_full[0] > 0 or np.isinf(margin_full[0])
     for (dn, ds), (rn, rs) in zip(dense.ranked(12), rer.ranked(12)):
         assert dn == rn, (dense.ranked(12), rer.ranked(12))
