@@ -1075,26 +1075,28 @@ def fused_texture_match(best, bestj, lat_validf, lpackT, rpackT,
     return out[..., 0]
 
 
-def _adc_rowmax_only_kernel(x_ref, lsq_ref, dect_ref, rsq_ref, tvalid_ref,
-                            best_ref):
-    # _adc_rowmax_kernel minus the argmax plane: the screening path needs
-    # only the row maxima. (A variant emitting per-(latent, entry) scalar
-    # sums in-kernel hit Mosaic's "Offset change" NotImplemented on the
-    # [C]-row store; the [NL, B, Lt] round-trip through HBM costs ~18 us
-    # per 512-entry block — not worth fighting the compiler for.)
-    CLt, D = x_ref.shape
+def _adc_augmax_kernel(x_ref, dect_ref, best_ref):
+    # Minimal-VPU screening kernel: ONE lane-max per entry, nothing else.
+    # The rolled-side correction (-rsq_j/2, +1e30 invalid mask) is BAKED
+    # INTO THE GEMM as an augmented contraction row (K 96 -> 97 is free —
+    # the MXU K tile is 128 wide), so max_j(2 dots - rsq_j) =
+    # 2 max_j(dots_aug); per-i terms (6 - lsq - tau, latent validity)
+    # apply to the reduced [Lt] vector in XLA. (The full _adc_rowmax_kernel
+    # spends ~4 f32 VPU passes per entry on correction + mask; at these
+    # shapes the VPU passes, not the MXU, were the bound — 32 TFLOP/s vs
+    # the ~120 the GEMM allows. Mosaic requires a 32-bit matmul
+    # accumulator, so the max runs on the f32 dots.)
+    CLt, Daug = x_ref.shape
     E = dect_ref.shape[0]
     C, _, Lt = best_ref.shape
     x = x_ref[...]
-    lsq = lsq_ref[...]
     for e in range(E):
         dect = dect_ref[e]
         if dect.dtype != x.dtype:
             dect = dect.astype(x.dtype)
         dots = jnp.dot(x, dect, preferred_element_type=jnp.float32)
-        simi = 2.0 * dots + (6.0 - lsq - rsq_ref[e, 0, :][None, :])
-        simi = simi + (tvalid_ref[e, 0, :][None, :] - 1.0) * (-NEG_BIG)
-        best_ref[:, e, :] = jnp.max(simi, axis=1).reshape(C, Lt)
+        best_ref[:, e, :] = jnp.max(dots, axis=1).reshape(C, Lt) \
+            .astype(best_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("entries_per_step", "tau",
@@ -1118,27 +1120,50 @@ def fused_adc_screen(x: jnp.ndarray, lat_sqnorm: jnp.ndarray,
     B, D2, Rt = dect.shape
     assert D == D2
     E = _adc_entries_per_step(B, entries_per_step)
-    rsq = rol_sqnorm.reshape(B, 1, Rt)
-    tva = rol_valid.astype(jnp.float32).reshape(B, 1, Rt)
     C = _adc_latent_chunk(NL, Lt, Rt, entries=E)
     assert_mosaic_block_legal((C, E, Lt), (NL, B, Lt), "adc_screen out")
-    assert_mosaic_block_legal((C * Lt, D), (NL * Lt, D), "adc_screen x")
+    assert_mosaic_block_legal((C * Lt, D + 2), (NL * Lt, D + 2),
+                              "adc_screen x")
 
-    best = pl.pallas_call(
-        _adc_rowmax_only_kernel,
+    # TWO augmented contraction rows: dots_aug = x . dec - rsq/2 + mask.
+    # Row D carries -rsq/2 (int8 galleries quantize it with its own scale
+    # c1 ~ max(rsq)/252, carried by x's aug column — error ~c1/2 ~ 0.006);
+    # row D+1 is the invalid-minutia sentinel with unit scale (-127 for
+    # int8, -1e4 for float — far below any achievable dot product, so an
+    # invalid j never wins the row max and an all-invalid row clamps to 0
+    # downstream).
+    rsqm = rol_sqnorm * 0.5
+    if dect.dtype == jnp.int8:
+        c1 = jnp.max(rsqm) / 126.0 + 1e-9
+        aug1 = jnp.clip(jnp.round(-rsqm / c1), -127, 127) \
+            .astype(jnp.int8).reshape(B, 1, Rt)
+        aug2 = jnp.where(rol_valid > 0, 0, -127) \
+            .astype(jnp.int8).reshape(B, 1, Rt)
+    else:
+        c1 = jnp.float32(1.0)
+        aug1 = (-rsqm).astype(dect.dtype).reshape(B, 1, Rt)
+        aug2 = jnp.where(rol_valid > 0, 0.0, -1e4) \
+            .astype(dect.dtype).reshape(B, 1, Rt)
+    dect_aug = jnp.concatenate([dect, aug1, aug2], axis=1)   # [B, D+2, Rt]
+    cols = jnp.concatenate([
+        jnp.broadcast_to(c1.astype(x.dtype), (NL, Lt, 1)),
+        jnp.ones((NL, Lt, 1), x.dtype)], axis=2)
+    x_aug = jnp.concatenate([x, cols], axis=2)               # [NL, Lt, D+2]
+
+    raw = pl.pallas_call(
+        _adc_augmax_kernel,
         grid=(B // E, NL // C),
         in_specs=[
-            pl.BlockSpec((C * Lt, D), lambda b, c: (c, 0)),
-            pl.BlockSpec((C * Lt, 1), lambda b, c: (c, 0)),
-            pl.BlockSpec((E, D, Rt), lambda b, c: (b, 0, 0)),
-            pl.BlockSpec((E, 1, Rt), lambda b, c: (b, 0, 0)),
-            pl.BlockSpec((E, 1, Rt), lambda b, c: (b, 0, 0)),
+            pl.BlockSpec((C * Lt, D + 2), lambda b, c: (c, 0)),
+            pl.BlockSpec((E, D + 2, Rt), lambda b, c: (b, 0, 0)),
         ],
         out_specs=pl.BlockSpec((C, E, Lt), lambda b, c: (c, b, 0)),
-        out_shape=jax.ShapeDtypeStruct((NL, B, Lt), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((NL, B, Lt), x.dtype),
         interpret=interpret,
-    )(x.reshape(NL * Lt, D), lat_sqnorm.reshape(NL * Lt, 1), dect, rsq, tva)
-    contrib = jnp.maximum(best - tau, 0.0) * lat_validf[:, None, :]
+    )(x_aug.reshape(NL * Lt, D + 2), dect_aug)
+    best = 2.0 * raw.astype(jnp.float32) \
+        + (6.0 - lat_sqnorm - tau)[:, None, :]
+    contrib = jnp.maximum(best, 0.0) * lat_validf[:, None, :]
     return jnp.sum(contrib, axis=2)
 
 

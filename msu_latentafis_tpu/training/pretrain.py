@@ -84,7 +84,7 @@ def pretrain_minutiae(steps: int = 300, batch: int = 16, size: int = 128,
         return (np.stack([d[0] for d in data]) / 128.0 - 1.0,
                 np.stack([d[1] for d in data]))
 
-    xs_all, ys_all = _pool_cache(f"minutiae_v3_{size}_{pool}_{seed}", build)
+    xs_all, ys_all = _pool_cache(f"minutiae_v4_{size}_{pool}_{seed}", build)
     for i in range(steps):
         idx = rng.integers(0, pool, batch)
         state, loss = step_fn(state, jnp.asarray(xs_all[idx]),
@@ -120,7 +120,7 @@ def pretrain_enhancement(steps: int = 300, batch: int = 16, size: int = 128,
             np.float32)[:, :, None] for d in data])
         return raws, np.stack([d[1] for d in data])
 
-    raws, targets = _pool_cache(f"enhance_lat3_{size}_{pool}_{seed}", build)
+    raws, targets = _pool_cache(f"enhance_lat4_{size}_{pool}_{seed}", build)
     print(f"pool ready: {raws.shape}; stepping...", flush=True)
     # host-side degradation: brightness/contrast jitter + box blur
     for i in range(steps):
@@ -153,7 +153,7 @@ def pretrain_descriptor(steps: int = 200, seed: int = 0, log_every: int = 50):
         return (np.stack([d[0] for d in data]),
                 np.stack([d[1] for d in data]))
 
-    xs, ys = _pool_cache(f"descriptor_v4_{seed}", build)
+    xs, ys = _pool_cache(f"descriptor_v5_{seed}", build)
     for i in range(steps):
         k = int(rng.integers(0, len(xs)))
         x, y = xs[k], ys[k]

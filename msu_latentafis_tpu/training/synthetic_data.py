@@ -30,27 +30,59 @@ def random_orientation_field(rng: np.random.Generator, blkH: int, blkW: int,
 
 
 def render_ridge_image(rng: np.random.Generator, h: int = 512, w: int = 512,
-                       spacing: float = 9.0, block: int = 16) -> Tuple[np.ndarray, np.ndarray]:
+                       spacing: float = 9.0, block: int = 16,
+                       noise_sigma: float = 12.0) -> Tuple[np.ndarray, np.ndarray]:
     """Render a ridge-wave image from a random orientation field.
 
     Returns (image [h, w] float in [0, 255], ori_field [h//block, w//block]).
+    ``noise_sigma=0`` renders the noise-free waveform — required for
+    enhancement-AEC TARGETS: a noisy target teaches the AEC to reproduce
+    noise, which directly caps the dictionary-quality of its outputs (the
+    block mask thresholds quality at 0.45, extraction_latent.py:108).
     """
     blkH, blkW = -(-h // block), -(-w // block)   # ceil: cover any h, w
-    ori = random_orientation_field(rng, blkH, blkW)
-    from scipy.ndimage import zoom
-    c = zoom(np.cos(2 * ori), block, order=1)[:h, :w]
-    s = zoom(np.sin(2 * ori), block, order=1)[:h, :w]
-    theta = np.arctan2(s, c) * 0.5
+    from scipy.ndimage import gaussian_filter, zoom
 
-    # integrate a phase field along the local normal direction:
-    # approximate with projection onto the (slowly varying) local normal.
-    # The waveform is the ridge/valley asymmetric wave the quality
-    # dictionary is built from (get_maps.py:271-283) — a pure cosine only
-    # correlates ~0.5 with those atoms, which capped dictionary quality of
-    # AEC outputs below the pipeline's 0.45 mask threshold.
-    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
-    dist = (xx * np.cos(theta + np.pi / 2) + yy * np.sin(theta + np.pi / 2))
+    # COHERENT phase field: least-squares-integrate grad(phi) ~ (2pi/sp) *
+    # n with an FFT Poisson solve. The previous projection approximation
+    # (remainder of x*cos+y*sin with spatially-varying theta) phase-tears
+    # wherever theta drifts, which decoheres every 32x32 dictionary patch:
+    # rendered images scored quality ~0.38 vs the ~0.73 a
+    # constant-orientation wave achieves, starving the 0.45 block mask.
+    # The normal field n must be a smooth VECTOR field (a doubled-angle
+    # orientation has mod-pi branch cuts whose sign flips cancel the
+    # Poisson divergence and collapse the ridge frequency); its isolated
+    # zeros act like natural cores/deltas. The waveform is the
+    # ridge/valley asymmetric wave the quality dictionary is built from
+    # (get_maps.py:271-283) — a pure cosine only correlates ~0.5 with
+    # those atoms.
+    smooth = 5
+    vx = gaussian_filter(rng.standard_normal((blkH, blkW)), smooth)
+    vy = gaussian_filter(rng.standard_normal((blkH, blkW)), smooth)
+    vx = zoom(vx, block, order=1)[:h, :w]
+    vy = zoom(vy, block, order=1)[:h, :w]
+    vn = np.sqrt(vx * vx + vy * vy) + 1e-9
+    vx, vy = vx / vn, vy / vn
+    theta = np.arctan2(vy, vx) - np.pi / 2       # ridge direction (normal
+    # is the vector direction)
     sp = float(np.round(spacing))
+    gx = (2 * np.pi / sp) * vx
+    gy = (2 * np.pi / sp) * vy
+    # split off the mean gradient: the periodic FFT solve zeroes the k=0
+    # mode, so a (near-)uniform field would otherwise render NO ridges —
+    # phi = fft_solve(g - mean(g)) + mean(g) . (x, y)
+    gx0, gy0 = float(gx.mean()), float(gy.mean())
+    ky = np.fft.fftfreq(h)[:, None] * 2 * np.pi
+    kx = np.fft.fftfreq(w)[None, :] * 2 * np.pi
+    k2 = kx * kx + ky * ky
+    k2[0, 0] = 1.0
+    div_hat = (1j * kx * np.fft.fft2(gx - gx0)
+               + 1j * ky * np.fft.fft2(gy - gy0))
+    phi = np.real(np.fft.ifft2(-div_hat / k2))
+    yy0, xx0 = np.mgrid[0:h, 0:w].astype(np.float64)
+    phi = phi + gx0 * xx0 + gy0 * yy0
+    dist = phi * sp / (2 * np.pi)
+
     valley = max(2.0, np.floor(sp / 2) - 1)
     ridge = sp - valley
     x_off = np.remainder(dist, sp)
@@ -59,8 +91,9 @@ def render_ridge_image(rng: np.random.Generator, h: int = 512, w: int = 512,
     img = -np.sin(2 * np.pi * (y1 / ridge / 2.0)) \
         + np.sin(2 * np.pi * (y2 / valley / 2.0))
     img = (img * 0.5 + 0.5) * 255.0
-    noise = rng.standard_normal((h, w)) * 12.0
-    return np.clip(img + noise, 0, 255), theta
+    if noise_sigma > 0:
+        img = img + rng.standard_normal((h, w)) * noise_sigma
+    return np.clip(img, 0, 255), theta
 
 
 def cylinder_target_np(minutiae: np.ndarray, h: int, w: int,
@@ -95,7 +128,7 @@ def synthetic_minutiae_sample(rng: np.random.Generator, size: int = 128,
     rolled texture path) so the stand-in trains in its deployment domain.
     """
     img, theta = render_ridge_image(rng, size, size,
-                                    spacing=float(rng.uniform(9, 12.5)))
+                                    spacing=float(rng.uniform(8, 10.5)))
     clutter = rng.random() < 0.5
     minutiae = np.zeros((n_minutiae, 4), np.float64)
     minutiae[:, 0] = rng.uniform(12, size - 12, n_minutiae)
@@ -168,21 +201,30 @@ def synthetic_latent_sample(rng: np.random.Generator, size: int = 128):
     """(cluttered latent-style raw image [size, size], clean ridge target
     [size, size, 1] in [-1, 1]) — the enhancement AEC's training pair
     source; the caller applies the pipeline's actual preprocessing
-    (cartoon + STFT) to the cluttered side."""
-    img, _ = render_ridge_image(rng, size, size,
-                                spacing=float(rng.uniform(9, 12.5)))
-    clean = (img / 128.0 - 1.0)[:, :, None].astype(np.float32)
-    dirty = add_latent_clutter(rng, img)
+    (cartoon + STFT) to the cluttered side. The target is the NOISE-FREE
+    waveform (the clutter/noise all lives on the input side)."""
+    seed = rng.integers(0, 2**31)
+    clean_img, _ = render_ridge_image(np.random.default_rng(seed), size,
+                                      size,
+                                      spacing=float(rng.uniform(8, 10.5)),
+                                      noise_sigma=0.0)
+    clean = (clean_img / 128.0 - 1.0)[:, :, None].astype(np.float32)
+    noisy = np.clip(clean_img
+                    + rng.standard_normal((size, size)) * 12.0, 0, 255)
+    dirty = add_latent_clutter(rng, noisy)
     return dirty, clean
 
 
 def synthetic_enhancement_sample(rng: np.random.Generator, size: int = 128):
-    """(clean ridge image [size,size,1] raw, same as target) — the
-    degradation augment corrupts the input side at train time."""
+    """(noisy ridge image [size,size,1] raw, noise-free target in [-1,1])
+    — the degradation augment further corrupts the input side at train
+    time; the target stays the pure waveform."""
     img, _ = render_ridge_image(rng, size, size,
-                                spacing=float(rng.uniform(9, 12.5)))
-    x = img[:, :, None].astype(np.float32)
-    return x, (x / 128.0 - 1.0)
+                                spacing=float(rng.uniform(8, 10.5)),
+                                noise_sigma=0.0)
+    noisy = np.clip(img + rng.standard_normal(img.shape) * 12.0, 0, 255)
+    x = noisy[:, :, None].astype(np.float32)
+    return x, (img[:, :, None].astype(np.float32) / 128.0 - 1.0)
 
 
 def synthetic_descriptor_batch(rng: np.random.Generator, n_ids: int = 16,
@@ -206,7 +248,7 @@ def synthetic_descriptor_batch(rng: np.random.Generator, n_ids: int = 16,
     xs, ys = [], []
     for label in range(n_ids):
         base, _ = render_ridge_image(rng, big, big,
-                                     spacing=float(rng.uniform(9, 12.5)))
+                                     spacing=float(rng.uniform(8, 10.5)))
         for k in range(samples_per_id):
             j = base
             ang = float(rng.uniform(-10, 10))

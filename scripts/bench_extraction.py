@@ -4,7 +4,7 @@ latent and rolled pipelines (SD27-shaped 768x800 inputs), with the
 pipeline's per-stage phase timings.
 
 Two passes per pipeline: the first pays per-shape compiles, the second is
-the steady-state number. Writes BENCH_EXTRACT_r02.json. Run alone
+the steady-state number. Writes BENCH_EXTRACT_r03.json. Run alone
 (single TPU tunnel).
 """
 import json
@@ -17,7 +17,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT = os.path.join(REPO, "BENCH_EXTRACT_r02.json")
+OUT = os.path.join(REPO, "BENCH_EXTRACT_r03.json")
 
 
 def main():

@@ -12,7 +12,7 @@ Entries (select with LADDER=a,b,c env; default all):
               shard_map path (the ratio, not the absolute CPU speed).
 
 Writes one JSON object per line to stdout and the full dict to
-BENCH_LADDER_r02.json. Run alone (single TPU tunnel).
+BENCH_LADDER_r03.json. Run alone (single TPU tunnel).
 """
 import json
 import os
@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CODEBOOK = "/root/reference/matching/codebook_EmbeddingSize_96_stride_16_subdim_6.dat"
-OUT = os.path.join(REPO, "BENCH_LADDER_r02.json")
+OUT = os.path.join(REPO, "BENCH_LADDER_r03.json")
 
 
 def _sync(r):
