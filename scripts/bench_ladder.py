@@ -138,13 +138,26 @@ from msu_latentafis_tpu.utils.synthetic import (make_latent_template,
                                                 synthetic_packed_gallery)
 cb = read_codebook(%r)
 rng = np.random.default_rng(9)
-G = 512
-packed = synthetic_packed_gallery(rng, cb, G=G, n_minu=32, n_tex=64)
+# WEAK scaling: per-device gallery shard is fixed (1024 entries) and the
+# total gallery grows with the device count — ideal sharding keeps the
+# wall time flat. (A strong-scaling ratio on a tiny fixed gallery only
+# measures dispatch overhead on the virtual CPU mesh.)
+G_PER_DEV = 1024
+packed_full = synthetic_packed_gallery(rng, cb, G=8 * G_PER_DEV,
+                                       n_minu=32, n_tex=64)
+import dataclasses
 lat = pack_latent(make_latent_template(rng, n_minu=24, n_tex=48),
                   quantize_tex_xy=False, minu_cap=32, tex_cap=64)
 out = {}
 for n in (1, 2, 4, 8):
     engine = MatchEngine(cb, block_size=32)
+    G = n * G_PER_DEV
+    packed = dataclasses.replace(
+        packed_full,
+        **{f.name: getattr(packed_full, f.name)[:G]
+           for f in dataclasses.fields(packed_full)
+           if f.name != "names"},
+        names=packed_full.names[:G])
     mesh = make_mesh(n_gallery=n, devices=jax.devices()[:n])
     gal = shard_gallery(engine, packed, mesh)
     s = match_sharded(engine, lat, gal, mesh)
@@ -162,12 +175,20 @@ print("RESULT " + json.dumps(out))
     line = [l for l in p.stdout.splitlines() if l.startswith("RESULT ")]
     assert line, (p.stdout, p.stderr[-2000:])
     times = {int(k): v for k, v in json.loads(line[0][7:]).items()}
-    eff = {n: round(times[1] / (n * times[n]), 3) for n in times}
+    # weak-scaling efficiency: wall time staying flat == 1.0
+    eff = {n: round(times[1] / times[n], 3) for n in times}
     results["scale_virtual8"] = {
-        "metric": "shard_map parallel efficiency, virtual CPU mesh "
-                  "(config-5 stand-in; 1 real chip available)",
+        "metric": "shard_map WEAK-scaling efficiency (1024-entry shard per "
+                  "device), virtual CPU mesh (config-5 stand-in; 1 real "
+                  "chip available)",
         "seconds_per_match": {str(n): round(t, 4) for n, t in times.items()},
-        "efficiency_vs_1dev": {str(n): eff[n] for n in sorted(eff)}}
+        "weak_efficiency_vs_1dev": {str(n): eff[n] for n in sorted(eff)},
+        "caveat": (
+            "the 8-'device' mesh shares 2 physical host cores, so total "
+            "work grows 8x against fixed silicon - wall time growth is the "
+            "host's compute bound, not sharding overhead. The virtual mesh "
+            "validates correctness (sharded == local) and compile-ability; "
+            "real parallel efficiency needs real chips (1 available)")}
     print(json.dumps({"scale_virtual8": results["scale_virtual8"]}), flush=True)
 
 

@@ -188,3 +188,36 @@ def test_rerank_fn_lowers_tpu_bench_config():
     jax_export.export(fn, platforms=["tpu"])(
         _lat_avals(), _gal_avals(G, dict(tex_dec=_aval((G, D, RT),
                                                        jnp.int8))))
+
+
+def test_kernels_lower_at_cap_shapes():
+    """Reference-cap shapes (Lt=Rt=1000, Lm=Rm=128 — matcher.h:31-32):
+    the ladder's spec100k entry runs these; block plans must stay legal.
+    (VMEM fit is NOT checkable on CPU — scripts/tpu_smoke.py + the ladder
+    cover that on hardware.)"""
+    LTc = RTc = 1000
+    LMc = RMc = 128
+    NLc, Bc = 4, 256
+    _export_tpu(
+        lambda x, sq, ct, td, rsq, rv: pk.fused_adc_rowmax_codes(
+            x, sq, ct, td, rsq, rv),
+        _aval((NLc, LTc, D), jnp.bfloat16), _aval((NLc, LTc)),
+        _aval((Bc, 16, RTc), jnp.uint8), _aval((D, 16 * 256), jnp.bfloat16),
+        _aval((Bc, RTc)), _aval((Bc, RTc)))
+    _export_tpu(
+        lambda ld, lv, rd, rv, lp, rp: pk.fused_minutiae_match(
+            ld, lv, rd, rv, lp, rp, top_n=120, lookup=False, dist_iters=5),
+        _aval((NLc * T, LMc, D), jnp.bfloat16), _aval((NLc * T, LMc)),
+        _aval((Bc, D, RMc), jnp.int8), _aval((Bc, RMc)),
+        _aval((NLc * T, 4, LMc)), _aval((Bc, 4, RMc)))
+    _export_tpu(
+        lambda best, bj, lv, lp, rp: pk.fused_texture_match(
+            best, bj, lv, lp, rp, top_n=200, lookup=True, dist_iters=3),
+        _aval((NLc, Bc, LTc)), _aval((NLc, Bc, LTc), jnp.int32),
+        _aval((NLc, LTc)), _aval((NLc, 4, LTc)), _aval((Bc, 4, RTc)))
+    _export_tpu(
+        lambda x, sq, lv, dect, rsq, rv: pk.fused_adc_screen(
+            x, sq, lv, dect, rsq, rv, tau=3.0),
+        _aval((NLc, LTc, D), jnp.bfloat16), _aval((NLc, LTc)),
+        _aval((NLc, LTc)), _aval((Bc, D, RTc), jnp.int8),
+        _aval((Bc, RTc)), _aval((Bc, RTc)))
