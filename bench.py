@@ -18,9 +18,9 @@ import numpy as np
 
 G = int(os.environ.get("BENCH_GALLERY", "100000"))
 N_LATENTS = int(os.environ.get("BENCH_LATENTS", "8"))
-# block sized so the [NL, B, Lt, Rt] similarity transient stays ~<1 GB
-BLOCK = int(os.environ.get("BENCH_BLOCK", "0")) or max(
-    64, 1 << (30 - (448 * 448 * 4 * max(1, int(os.environ.get("BENCH_LATENTS", "8")))).bit_length()))
+# 512-entry blocks measured fastest for both serving and dense (fewer
+# scan steps; the fused kernels bound their own VMEM tiles internally)
+BLOCK = int(os.environ.get("BENCH_BLOCK", "0")) or 512
 RM, RT, LM, LT, D = 96, 448, 64, 448, 96
 
 REPO = os.path.dirname(os.path.abspath(__file__))
@@ -50,8 +50,15 @@ def main():
     from msu_latentafis_tpu.utils.synthetic import make_latent_template
 
     cb = read_codebook(CODEBOOK)
+    # BENCH_CODES=1: codes-resident gallery (uint8 PQ codes in HBM, decode
+    # in VMEM — 16 B/minutia lets ~800K templates serve from one chip);
+    # BENCH_MINU_INT8=1: int8 minutiae descriptors (halves the other big
+    # array). Default: predecoded int8 textures (fastest at 100K).
+    CODES = os.environ.get("BENCH_CODES", "0") == "1"
+    MINU_INT8 = os.environ.get("BENCH_MINU_INT8", "0") == "1"
     engine = MatchEngine(cb, block_size=BLOCK, compute_dtype=jnp.bfloat16,
-                     tex_int8=os.environ.get("BENCH_TEX_INT8", "1") == "1")
+                         tex_int8=os.environ.get("BENCH_TEX_INT8", "1") == "1",
+                         minu_int8=MINU_INT8)
 
     # device-side synthetic gallery in the engine's device layout
     # (transposed descriptors, split x/y planes, pre-decoded textures),
@@ -61,29 +68,39 @@ def main():
     nchunks = (Gpad + chunk - 1) // chunk
     Gpad = nchunks * chunk
 
+    MSCALE = 1.73 / 127.0 + 1e-12                         # minu int8 scale
+
     def gen_chunk(key):
         ks = jax.random.split(key, 8)
         minu_des = jax.random.normal(ks[0], (chunk, D, RM), jnp.bfloat16)
         norm = jnp.sqrt(jnp.sum(minu_des.astype(jnp.float32) ** 2, 1,
                                 keepdims=True)) + 1e-6
         minu_des = (minu_des / norm * 1.73).astype(jnp.bfloat16)
+        if MINU_INT8:
+            minu_des = jnp.clip(jnp.round(
+                minu_des.astype(jnp.float32) / MSCALE), -127, 127) \
+                .astype(jnp.int8)
         codes = jax.random.randint(ks[1], (chunk, RT, 16), 0, 256,
                                    jnp.int32).astype(jnp.uint8)
         dec = engine._decode(codes)                       # [chunk, RT, D]
         tex_sqnorm = jnp.sum(dec.astype(jnp.float32) ** 2, axis=-1)
-        if engine.tex_int8:
-            dec = jnp.clip(jnp.round(dec.astype(jnp.float32)
-                                     / engine._tex_scale_g),
-                           -127, 127).astype(jnp.int8)
-        dec_t = jnp.swapaxes(dec, 1, 2)                   # [chunk, D, RT]
+        if CODES:
+            tex_field = dict(tex_codes_t=jnp.swapaxes(codes, 1, 2))
+        else:
+            if engine.tex_int8:
+                dec = jnp.clip(jnp.round(dec.astype(jnp.float32)
+                                         / engine._tex_scale_g),
+                               -127, 127).astype(jnp.int8)
+            tex_field = dict(tex_dec=jnp.swapaxes(dec, 1, 2))
         return dict(
+            **tex_field,
             minu_des=minu_des,
             minu_x=jax.random.uniform(ks[2], (chunk, RM), jnp.float32, 24, 488),
             minu_y=jax.random.uniform(ks[3], (chunk, RM), jnp.float32, 24, 488),
             minu_ori=jax.random.uniform(ks[4], (chunk, RM), jnp.float32,
                                         -np.pi, np.pi),
             minu_n=jnp.full((chunk,), RM, jnp.int32),
-            tex_dec=dec_t, tex_sqnorm=tex_sqnorm,
+            tex_sqnorm=tex_sqnorm,
             tex_x=jnp.floor(jax.random.uniform(ks[5], (chunk, RT), jnp.float32, 0, 30)),
             tex_y=jnp.floor(jax.random.uniform(ks[6], (chunk, RT), jnp.float32, 0, 30)),
             tex_ori=jax.random.uniform(ks[7], (chunk, RT), jnp.float32,
@@ -102,8 +119,9 @@ def main():
 
     g = gen_all(keys)
     jax.block_until_ready(g["minu_des"])
+    minu_scale = (jnp.full((1,), MSCALE, jnp.float32) if MINU_INT8 else None)
     gallery = DeviceGallery(names=[str(i) for i in range(G)], n_real=G,
-                            tex_codes=None, **g)
+                            tex_codes=None, minu_scale=minu_scale, **g)
 
     rng = np.random.default_rng(7)
     n_rounds = 2

@@ -160,7 +160,14 @@ def cmd_match(args) -> int:
     if args.latent and todo:
         name, t, packed = todo[0]
         t0 = time.perf_counter()
-        result = engine.one_to_list(packed, gallery)
+        if args.rerank:
+            # serving mode: MXU-only screen over all pairs, exact scores
+            # for the top-m; the rank table is identical wherever the
+            # certification threshold is cleared (engine docstring)
+            result = engine.one_to_list_reranked(packed, gallery,
+                                                 m=args.rerank)
+        else:
+            result = engine.one_to_list(packed, gallery)
         dt = (time.perf_counter() - t0) * 1000
         print(f"{name}: matched {gallery.n_real} in {dt:.1f} ms")
         write_rank_csv(os.path.join(score_dir, name + ".csv"), result)
@@ -219,6 +226,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     pm.add_argument("-s", "--scores")
     pm.add_argument("-c", "--codebook")
     pm.add_argument("--config")
+    pm.add_argument("--rerank", type=int, default=0, metavar="M",
+                    help="screen-then-rerank serving mode: exact scores "
+                         "for the top-M screened candidates only "
+                         "(0 = dense exact, the default)")
     pm.set_defaults(fn=cmd_match)
 
     args = p.parse_args(argv)

@@ -533,23 +533,32 @@ class MatchEngine:
                 normalize=normalize,
                 interpret=not on_tpu).reshape(NL, T, B).sum(axis=1)
 
-            if "tex_codes_t" in blk:
-                codes = jnp.swapaxes(blk["tex_codes_t"], 1, 2)
-                decoded_t = jnp.swapaxes(self._decode(codes), 1, 2)
-            elif "tex_dec" in blk:
-                decoded_t = blk["tex_dec"]
+            if "tex_codes_t" in blk and on_tpu:
+                # codes-resident: PQ decode in VMEM (the XLA one-hot decode
+                # is ~300x slower per scan)
+                s_tex = pk.fused_adc_screen_codes(
+                    lat["tex_des"].astype(dtype), lat_sqnorm,
+                    lat_tex_valid, blk["tex_codes_t"],
+                    self._decode_tensor_t, blk["tex_sqnorm"],
+                    rol_tex_valid, n_clusters=self.n_clusters, tau=tau)
             else:
-                codes = blk["tex_codes"].reshape(B, Rt, -1)
-                decoded_t = jnp.swapaxes(self._decode(codes), 1, 2)
-            if decoded_t.dtype == jnp.int8:
-                x_eff = (lat["tex_des"].astype(jnp.float32)
-                         * self._tex_scale_g).astype(dtype)
-            else:
-                x_eff = lat["tex_des"].astype(dtype)
-            s_tex = pk.fused_adc_screen(
-                x_eff, lat_sqnorm, lat_tex_valid, decoded_t,
-                blk["tex_sqnorm"], rol_tex_valid, tau=tau,
-                interpret=not on_tpu)                        # [NL, B]
+                if "tex_codes_t" in blk:
+                    codes = jnp.swapaxes(blk["tex_codes_t"], 1, 2)
+                    decoded_t = jnp.swapaxes(self._decode(codes), 1, 2)
+                elif "tex_dec" in blk:
+                    decoded_t = blk["tex_dec"]
+                else:
+                    codes = blk["tex_codes"].reshape(B, Rt, -1)
+                    decoded_t = jnp.swapaxes(self._decode(codes), 1, 2)
+                if decoded_t.dtype == jnp.int8:
+                    x_eff = (lat["tex_des"].astype(jnp.float32)
+                             * self._tex_scale_g).astype(dtype)
+                else:
+                    x_eff = lat["tex_des"].astype(dtype)
+                s_tex = pk.fused_adc_screen(
+                    x_eff, lat_sqnorm, lat_tex_valid, decoded_t,
+                    blk["tex_sqnorm"], rol_tex_valid, tau=tau,
+                    interpret=not on_tpu)                    # [NL, B]
 
             screen = s_minu + MC.TEXTURE_SCORE_WEIGHT * s_tex
             nonempty = (blk["minu_n"] > 0) | (blk["tex_n"] > 0)

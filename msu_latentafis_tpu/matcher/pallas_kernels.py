@@ -928,6 +928,8 @@ def fused_minutiae_match(lat_des, lat_validf, rol_des_t, rol_validf,
         out_shape=jax.ShapeDtypeStruct((NT, B, 1), jnp.float32),
         scratch_shapes=[pltpu.VMEM((tile_b, R, R), jnp.float32)]
         if use_tables else [],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024) if not interpret else None,
         interpret=interpret,
     )(lat_des, lat_validf.reshape(NT, P, 1), rol_des_t,
       rol_validf.reshape(B, 1, R), lpackT, rpackT)
@@ -1159,12 +1161,121 @@ def fused_adc_screen(x: jnp.ndarray, lat_sqnorm: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec((C, E, Lt), lambda b, c: (c, b, 0)),
         out_shape=jax.ShapeDtypeStruct((NL, B, Lt), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024) if not interpret else None,
         interpret=interpret,
     )(x_aug.reshape(NL * Lt, D + 2), dect_aug)
     best = 2.0 * raw.astype(jnp.float32) \
         + (6.0 - lat_sqnorm - tau)[:, None, :]
     contrib = jnp.maximum(best, 0.0) * lat_validf[:, None, :]
     return jnp.sum(contrib, axis=2)
+
+
+def _adc_screen_codes_kernel(n_clusters: int):
+    def kernel(x_ref, codes_ref, tdec_ref, aug_ref, best_ref, dect_ref):
+        # codes-resident screening: PQ decode in VMEM (same one-hot-matmul
+        # scheme as _adc_rowmax_codes_kernel) into a [E, D+2, Rt] scratch
+        # whose last two rows hold the augmented correction planes
+        # (-rsq/2, invalid sentinel); then the augmax body.
+        C = n_clusters
+        E = codes_ref.shape[0]
+
+        @pl.when(pl.program_id(1) == 0)
+        def _decode():
+            for e in range(E):
+                codes = codes_ref[e].astype(jnp.int32)        # [S, Rt]
+                S, Rt = codes.shape
+                D = tdec_ref.shape[0]
+                acc = jnp.zeros((D, Rt), jnp.float32)
+                for k in range(S):
+                    onehot = (codes[k:k + 1, :]
+                              == jax.lax.broadcasted_iota(jnp.int32,
+                                                          (C, Rt), 0)
+                              ).astype(tdec_ref.dtype)        # [C, Rt]
+                    acc += jnp.dot(tdec_ref[:, k * C:(k + 1) * C], onehot,
+                                   preferred_element_type=jnp.float32)
+                dect_ref[e, :D] = acc.astype(dect_ref.dtype)
+                dect_ref[e, D:] = aug_ref[e].astype(dect_ref.dtype)
+
+        Ch, _, Lt = best_ref.shape
+        x = x_ref[...]
+        for e in range(E):
+            dots = jnp.dot(x, dect_ref[e].astype(x.dtype),
+                           preferred_element_type=jnp.float32)
+            best_ref[:, e, :] = jnp.max(dots, axis=1).reshape(Ch, Lt) \
+                .astype(best_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("n_clusters", "entries_per_step",
+                                             "tau", "interpret"))
+def fused_adc_screen_codes(x: jnp.ndarray, lat_sqnorm: jnp.ndarray,
+                           lat_validf: jnp.ndarray, codes_t: jnp.ndarray,
+                           tdec: jnp.ndarray, rol_sqnorm: jnp.ndarray,
+                           rol_valid: jnp.ndarray, n_clusters: int = 256,
+                           entries_per_step: int = 8, tau: float = 0.0,
+                           interpret: bool = False) -> jnp.ndarray:
+    """fused_adc_screen for codes-resident galleries: the uint8 PQ codes
+    decode in VMEM (16 B/minutia in HBM — ~1M-template serving on one
+    chip), the similarity corrections ride the GEMM as augmented rows.
+
+    x: [NL, Lt, D] (compute dtype); codes_t: [B, S, Rt] uint8;
+    tdec: [D, S*n_clusters] transposed decode tensor (compute dtype);
+    rol_sqnorm/rol_valid: [B, Rt] f32. Returns [NL, B] f32.
+    """
+    NL, Lt, D = x.shape
+    B, S, Rt = codes_t.shape
+    E = _adc_entries_per_step(B, entries_per_step)
+    C = _adc_latent_chunk(NL, Lt, Rt, entries=E)
+    assert_mosaic_block_legal((C, E, Lt), (NL, B, Lt), "adc_screen_codes")
+
+    aug = jnp.stack([
+        -0.5 * rol_sqnorm,
+        jnp.where(rol_valid > 0, 0.0, -1e4),
+    ], axis=1)                                               # [B, 2, Rt]
+    cols = jnp.ones((NL, Lt, 2), x.dtype)
+    x_aug = jnp.concatenate([x, cols], axis=2)               # [NL, Lt, D+2]
+
+    raw = pl.pallas_call(
+        _adc_screen_codes_kernel(n_clusters),
+        grid=(B // E, NL // C),
+        in_specs=[
+            pl.BlockSpec((C * Lt, D + 2), lambda b, c: (c, 0)),
+            pl.BlockSpec((E, S, Rt), lambda b, c: (b, 0, 0)),
+            pl.BlockSpec((D, S * n_clusters), lambda b, c: (0, 0)),
+            pl.BlockSpec((E, 2, Rt), lambda b, c: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((C, E, Lt), lambda b, c: (c, b, 0)),
+        out_shape=jax.ShapeDtypeStruct((NL, B, Lt), x.dtype),
+        scratch_shapes=[pltpu.VMEM((E, D + 2, Rt), x.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024) if not interpret else None,
+        interpret=interpret,
+    )(x_aug.reshape(NL * Lt, D + 2), codes_t, tdec, aug)
+    best = 2.0 * raw.astype(jnp.float32) \
+        + (6.0 - lat_sqnorm - tau)[:, None, :]
+    contrib = jnp.maximum(best, 0.0) * lat_validf[:, None, :]
+    return jnp.sum(contrib, axis=2)
+
+
+def _minu_screen_fast_kernel(NT: int, P: int, tile_b: int):
+    def kernel(lat_ref, rol_ref, rowmax_ref, colmax_ref):
+        # lat: [NT*P, D] (ALL templates in one GEMM — the per-template
+        # [64, 96] x [96, 96] variant ran the MXU at ~2.5 TFLOP/s);
+        # rol: [tile_b, D, R]; outputs: row/col maxima PLANES
+        # [NT, tile_b, P] / [NT, tile_b, R] — the clamp and sums run in
+        # XLA (sum(relu(max)) == sum(max(relu)) since relu is monotone).
+        lat = lat_ref[...]
+        for s in range(tile_b):
+            rol = rol_ref[s]
+            if rol.dtype != lat.dtype:
+                rol = rol.astype(lat.dtype)
+            g = jnp.dot(lat, rol, preferred_element_type=jnp.float32)
+            rowmax_ref[:, s, :] = jnp.max(g, axis=1).reshape(NT, P)
+            colmax_ref[:, s, :] = jnp.max(g.reshape(NT, P, g.shape[1]),
+                                          axis=1)
+    return kernel
 
 
 def _minu_screen_kernel(normalize: bool, tile_b: int):
@@ -1217,9 +1328,43 @@ def fused_minu_screen(lat_des, lat_validf, rol_des_t, rol_validf,
     NT, P, D = lat_des.shape
     B, D2, R = rol_des_t.shape
     assert D == D2
-    if tile_b == 0:
-        tile_b = 32 if B % 32 == 0 else 8
-    tile_b = _adc_entries_per_step(B, tile_b)
+    if not normalize:
+        # fast path: one [NT*P, D] x [D, R] GEMM per entry; validity rides
+        # on zeroed descriptor rows/cols (clamped sims make zero rows
+        # contribute nothing to either maxima sum)
+        if tile_b == 0:
+            tile_b = 8
+        tile_b = _adc_entries_per_step(B, tile_b)
+        assert_mosaic_block_legal((NT, tile_b, P), (NT, B, P), "minu_screen")
+        x = (lat_des * lat_validf[:, :, None].astype(lat_des.dtype)) \
+            .reshape(NT * P, D)
+        rowmax, colmax = pl.pallas_call(
+            _minu_screen_fast_kernel(NT, P, tile_b),
+            grid=(B // tile_b,),
+            in_specs=[
+                pl.BlockSpec((NT * P, D), lambda b: (0, 0)),
+                pl.BlockSpec((tile_b, D, R), lambda b: (b, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((NT, tile_b, P), lambda b: (0, b, 0)),
+                pl.BlockSpec((NT, tile_b, R), lambda b: (0, b, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((NT, B, P), jnp.float32),
+                jax.ShapeDtypeStruct((NT, B, R), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024)
+            if not interpret else None,
+            interpret=interpret,
+        )(x, rol_des_t * rol_validf[:, None, :].astype(rol_des_t.dtype)
+          if rol_des_t.dtype != jnp.int8
+          else rol_des_t * rol_validf[:, None, :].astype(jnp.int8))
+        rb = jnp.sum(jnp.maximum(rowmax, 0.0), axis=2)
+        cb = jnp.sum(jnp.maximum(colmax, 0.0), axis=2)
+        return jnp.minimum(rb, cb)
+
+    tile_b = _adc_entries_per_step(B, tile_b or (32 if B % 32 == 0 else 8))
     assert_mosaic_block_legal((None, tile_b, 1), (NT, B, 1), "minu_screen")
 
     out = pl.pallas_call(
@@ -1331,6 +1476,8 @@ def fused_adc_rowmax_codes(x: jnp.ndarray, lat_sqnorm: jnp.ndarray,
             jax.ShapeDtypeStruct((NL, B, Lt), jnp.int32),
         ],
         scratch_shapes=[pltpu.VMEM((E, D, Rt), x.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024) if not interpret else None,
         interpret=interpret,
     )(x.reshape(NL * Lt, D), lat_sqnorm.reshape(NL * Lt, 1), codes_t, tdec,
       rsq, tva)
@@ -1342,7 +1489,7 @@ def fused_adc_rowmax_codes(x: jnp.ndarray, lat_sqnorm: jnp.ndarray,
 def fused_adc_rowmax(x: jnp.ndarray, lat_sqnorm: jnp.ndarray,
                      dect: jnp.ndarray, rol_sqnorm: jnp.ndarray,
                      rol_valid: jnp.ndarray, entries_per_step: int = 8,
-                     latent_chunk: int = 0, vmem_limit_mb: int = 0,
+                     latent_chunk: int = 0, vmem_limit_mb: int = 64,
                      interpret: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Row maxima of the ADC similarity without materializing it.
 

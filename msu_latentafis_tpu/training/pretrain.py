@@ -85,10 +85,20 @@ def pretrain_minutiae(steps: int = 300, batch: int = 16, size: int = 128,
                 np.stack([d[1] for d in data]))
 
     xs_all, ys_all = _pool_cache(f"minutiae_v4_{size}_{pool}_{seed}", build)
+    # Target amplification (stand-in calibration): the pipeline's decode
+    # thresholds are the REFERENCE's (0.05/0.10/0.25 per set,
+    # extraction_latent.py:119-130) and assume confident heatmap peaks.
+    # An L2-regressed stand-in undershoots the unit-peak cylinder GT
+    # (measured peaks < 0.25 on real latents -> the AEC/gabor detection
+    # sets came back empty); x3 targets put genuine peaks ~1.5-2 so the
+    # reference thresholds bite as intended. Decode's sub-bin
+    # interpolation is ratio-based (scale-invariant), and confidences
+    # only order/filter.
+    TARGET_GAIN = 3.0
     for i in range(steps):
         idx = rng.integers(0, pool, batch)
         state, loss = step_fn(state, jnp.asarray(xs_all[idx]),
-                              jnp.asarray(ys_all[idx]))
+                              jnp.asarray(TARGET_GAIN * ys_all[idx]))
         if i % log_every == 0:
             print(f"minutiae step {i}: loss {float(loss):.1f}", flush=True)
     return model, _variables(state)

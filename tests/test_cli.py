@@ -58,3 +58,11 @@ def test_cli_match_ldir_and_ranked(tmp_path):
     ranked = open(sdir / "lat0.csv").read().splitlines()
     assert ranked[0] == "filename,score"
     assert ranked[1].startswith("1g2,")             # rank-1 = the mate
+
+    # serving mode: --rerank M produces the same rank-1 (mate) via the
+    # screen-then-rerank path
+    rc = main(["match", "-l", str(ldir / "lat0.dat"), "-g", str(gdir),
+               "-s", str(sdir), "-c", CODEBOOK, "--rerank", "4"])
+    assert rc == 0
+    ranked = open(sdir / "lat0.csv").read().splitlines()
+    assert ranked[1].startswith("1g2,")

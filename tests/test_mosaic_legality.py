@@ -221,3 +221,14 @@ def test_kernels_lower_at_cap_shapes():
         _aval((NLc, LTc, D), jnp.bfloat16), _aval((NLc, LTc)),
         _aval((NLc, LTc)), _aval((Bc, D, RTc), jnp.int8),
         _aval((Bc, RTc)), _aval((Bc, RTc)))
+
+
+def test_adc_screen_codes_lowers():
+    for Bx, LTx, RTx in [(B, LT, RT), (256, 1000, 1000)]:
+        _export_tpu(
+            lambda x, sq, lv, ct, td, rsq, rv: pk.fused_adc_screen_codes(
+                x, sq, lv, ct, td, rsq, rv, tau=3.0),
+            _aval((NL, LTx, D), jnp.bfloat16), _aval((NL, LTx)),
+            _aval((NL, LTx)), _aval((Bx, 16, RTx), jnp.uint8),
+            _aval((D, 16 * 256), jnp.bfloat16),
+            _aval((Bx, RTx)), _aval((Bx, RTx)))

@@ -153,3 +153,34 @@ def test_rerank_preserves_dense_ranking(rng):
     for (dn, ds), (rn, rs) in zip(dense.ranked(12), rer.ranked(12)):
         assert dn == rn, (dense.ranked(12), rer.ranked(12))
         np.testing.assert_allclose(ds, rs, rtol=1e-4, atol=1e-4)
+
+
+def test_adc_screen_codes_matches_decoded(rng):
+    """Codes-resident screen == decode + plain screen (interpret mode)."""
+    from msu_latentafis_tpu.matcher.texture_match import block_diag_codebook
+    from msu_latentafis_tpu.utils.synthetic import random_codebook
+    cb = random_codebook(rng, n_subs=4, n_clusters=16, sub_dim=2)
+    D = 8
+    NL, Lt, B, Rt, S = 2, 16, 4, 24, 4
+    x = rng.standard_normal((NL, Lt, D)).astype(np.float32)
+    lsq = np.sum(x ** 2, -1)
+    lval = np.ones((NL, Lt), np.float32)
+    codes = rng.integers(0, 16, (B, Rt, S)).astype(np.uint8)
+    codes_t = np.swapaxes(codes, 1, 2).copy()
+    dec_tensor = np.asarray(block_diag_codebook(cb), np.float32)
+    dec = dec_tensor.reshape(S * 16, D)[
+        (np.arange(S) * 16)[None, None, :] + codes].sum(axis=2)  # [B,Rt,D]
+    dect = np.swapaxes(dec, 1, 2).copy()
+    rsq = np.sum(dec.astype(np.float64) ** 2, -1).astype(np.float32)
+    rval = (np.arange(Rt)[None, :] < 20).astype(np.float32) * np.ones((B, 1), np.float32)
+    tdec = np.ascontiguousarray(dec_tensor.reshape(S * 16, D).T)
+
+    want = np.asarray(pk.fused_adc_screen(
+        jnp.asarray(x), jnp.asarray(lsq), jnp.asarray(lval),
+        jnp.asarray(dect), jnp.asarray(rsq), jnp.asarray(rval),
+        tau=1.0, interpret=True))
+    got = np.asarray(pk.fused_adc_screen_codes(
+        jnp.asarray(x), jnp.asarray(lsq), jnp.asarray(lval),
+        jnp.asarray(codes_t), jnp.asarray(tdec), jnp.asarray(rsq),
+        jnp.asarray(rval), n_clusters=16, tau=1.0, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
