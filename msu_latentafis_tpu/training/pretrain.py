@@ -159,15 +159,23 @@ def pretrain_descriptor(steps: int = 200, seed: int = 0, log_every: int = 50):
         # the batch — the 8-id pool saturated the margin at loss 0 while
         # real cross-domain pairs still confused the embedding
         data = [synthetic_descriptor_batch(rng, n_ids=16, samples_per_id=4)
-                for _ in range(64)]
+                for _ in range(128)]
         return (np.stack([d[0] for d in data]),
                 np.stack([d[1] for d in data]))
 
-    xs, ys = _pool_cache(f"descriptor_v5_{seed}", build)
+    xs, ys = _pool_cache(f"descriptor_v7_{seed}", build)
     for i in range(steps):
         k = int(rng.integers(0, len(xs)))
-        x, y = xs[k], ys[k]
-        state, loss = step_fn(state, jnp.asarray(x), jnp.asarray(y))
+        # train-time photometric jitter: the cached pool is finite, and a
+        # saturated margin on memorized patches does not transfer — keep
+        # the nuisances fresh per step
+        x = xs[k] * float(rng.uniform(0.8, 1.2)) \
+            + float(rng.uniform(-0.15, 0.15))
+        x = x + rng.standard_normal(x.shape).astype(np.float32) \
+            * float(rng.uniform(0.0, 0.08))
+        y = ys[k]
+        state, loss = step_fn(state, jnp.asarray(x, jnp.float32),
+                              jnp.asarray(y))
         if i % log_every == 0:
             print(f"descriptor step {i}: loss {float(loss):.3f}", flush=True)
     return model, _variables(state)

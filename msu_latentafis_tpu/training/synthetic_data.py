@@ -242,34 +242,64 @@ def synthetic_descriptor_batch(rng: np.random.Generator, n_ids: int = 16,
     embedding must be stable across those domains for a mated pair to
     produce high-similarity correspondences.
     """
+    from ..ops.fft import fast_cartoon_texture, stft_enhance
     from scipy.ndimage import rotate
 
-    big = size + 24
+    # Identities are LOCATIONS ON A SHARED FINGER, not independent ridge
+    # fields: nearby patches share the orientation field, so the only
+    # separating signal is fine local ridge geometry — the invariance the
+    # real matcher needs. (Independent-patch identities separate on gross
+    # orientation/frequency alone; the triplet loss saturated at ~0.001
+    # while real cross-domain mate pairs stayed at impostor similarity.)
+    # Domain renditions mirror deployment: the latent's descriptors come
+    # from STFT/Gabor-ENHANCED images of a cluttered lift, the rolled
+    # gallery's from the raw/cartoon print (extraction_latent.py:175-181
+    # vs extraction_rolled.py:95). Each id's samples are crops of the SAME
+    # finger under different renditions; translation error is kept at the
+    # minutia-localization scale (<=6 px).
+    n_fingers = max(1, n_ids // 4)
+    ids_per_finger = -(-n_ids // n_fingers)
+    big = 256
     xs, ys = [], []
-    for label in range(n_ids):
+    label = 0
+    for _ in range(n_fingers):
         base, _ = render_ridge_image(rng, big, big,
-                                     spacing=float(rng.uniform(8, 10.5)))
-        for k in range(samples_per_id):
-            j = base
-            ang = float(rng.uniform(-10, 10))
-            if abs(ang) > 0.5:
-                j = rotate(j, ang, reshape=False, mode="nearest", order=1)
-            dy, dx = rng.integers(0, 25, 2)
-            j = j[dy:dy + size, dx:dx + size].copy()
-            if rng.random() < 0.5:
-                # latent-side nuisance: the matcher compares descriptors of
-                # a cluttered lift against a clean rolled print
-                j = add_latent_clutter(rng, j, strength=float(rng.uniform(0.3, 1.0)))
-            domain = rng.integers(0, 3)
-            if domain == 1:
-                from ..ops.fft import stft_enhance
-                j = np.asarray(stft_enhance(j), np.float64)
-            elif domain == 2:
-                from ..ops.fft import fast_cartoon_texture
-                j = np.asarray(fast_cartoon_texture(j), np.float64)
-            j = j * float(rng.uniform(0.7, 1.3)) + float(rng.uniform(-20, 20))
-            j = j + rng.standard_normal(j.shape) * float(rng.uniform(2, 12))
-            xs.append(np.clip(j, 0, 255)[:, :, None])
-            ys.append(label)
+                                     spacing=float(rng.uniform(8, 10.5)),
+                                     noise_sigma=0.0)
+        # domain renditions of the whole finger (patch-level enhancement
+        # would see different boundary windows than deployment)
+        noisy = np.clip(base + rng.standard_normal(base.shape) * 10, 0, 255)
+        lifted = add_latent_clutter(rng, noisy,
+                                    strength=float(rng.uniform(0.4, 1.0)))
+        renditions = [
+            noisy,
+            np.asarray(stft_enhance(noisy), np.float64),
+            np.asarray(fast_cartoon_texture(noisy), np.float64),
+            np.asarray(stft_enhance(lifted), np.float64),
+            np.asarray(stft_enhance(
+                np.asarray(fast_cartoon_texture(lifted), np.float64)),
+                np.float64),
+        ]
+        centers = rng.uniform(size // 2 + 8, big - size // 2 - 8,
+                              (ids_per_finger, 2))
+        for cy, cx in centers:
+            if label >= n_ids:
+                break
+            for k in range(samples_per_id):
+                j = renditions[int(rng.integers(0, len(renditions)))]
+                ang = float(rng.uniform(-10, 10))
+                dy = int(cy - size // 2 + rng.integers(-6, 7))
+                dx = int(cx - size // 2 + rng.integers(-6, 7))
+                patch = j[dy:dy + size, dx:dx + size].copy()
+                if abs(ang) > 0.5:
+                    patch = rotate(patch, ang, reshape=False,
+                                   mode="nearest", order=1)
+                patch = patch * float(rng.uniform(0.7, 1.3)) \
+                    + float(rng.uniform(-20, 20))
+                patch = patch + rng.standard_normal(patch.shape) \
+                    * float(rng.uniform(2, 12))
+                xs.append(np.clip(patch, 0, 255)[:, :, None])
+                ys.append(label)
+            label += 1
     x = np.stack(xs).astype(np.float32) / 128.0 - 1.0
     return x, np.asarray(ys, np.int32)
