@@ -185,7 +185,9 @@ def main():
             if RERANK else "dense exact")
     print(json.dumps({
         "metric": f"latents matched/s vs {G}-template PQ gallery "
-                  f"(1 chip; {mode}; baseline: {base_src})",
+                  f"(1 chip; Lm={LM},Lt={LT},Rm={RM},Rt={RT}; {mode}; "
+                  f"cap-shape Lt=Rt=1000 ladder in BENCH_LADDER_r03.json; "
+                  f"baseline: {base_src})",
         "value": round(latents_per_s, 4),
         "unit": "latents/s",
         "vs_baseline": round(vs_baseline, 2),

@@ -54,17 +54,28 @@ def bench_spec100k(results):
     lats = [pack_latent(make_latent_template(rng, n_minu=LM, n_tex=LT),
                         quantize_tex_xy=False, minu_cap=LM, tex_cap=LT)
             for _ in range(2 * NL)]
-    r = engine.match_scores_batch(lats[:NL], gal)   # compile + warm
-    _sync(r[:, :4])
+    # SPEC_RERANK=m (default 512): serving path (screen + exact rerank of
+    # the top-m), same mode as bench.py's headline; 0 = dense exact path.
+    RERANK = int(os.environ.get("SPEC_RERANK", "512"))
+
+    def run(batch):
+        if RERANK:
+            idx, exact, margin, thr = engine.match_scores_batch_reranked(
+                batch, gal, m=RERANK)
+            return float(exact[0, :4].sum())      # already host-side
+        r = engine.match_scores_batch(batch, gal)
+        return _sync(r[:, :4])
+
+    run(lats[:NL])                                # compile + warm
     t0 = time.time()
-    r = engine.match_scores_batch(lats[NL:], gal)
-    _sync(r[:, :4])
+    run(lats[NL:])
     dt = time.time() - t0
+    mode = f"rerank m={RERANK}" if RERANK else "dense exact"
     results["spec100k"] = {
         "metric": f"latents/s vs {G} gallery at cap shapes "
-                  f"Lm={LM},Lt={LT},Rm={RM},Rt={RT}",
+                  f"Lm={LM},Lt={LT},Rm={RM},Rt={RT} ({mode})",
         "latents_per_s": round(NL / dt, 4), "seconds": round(dt, 2),
-        "n_latents": NL}
+        "n_latents": NL, "mode": mode}
     print(json.dumps({"spec100k": results["spec100k"]}), flush=True)
 
 

@@ -232,3 +232,35 @@ def test_adc_screen_codes_lowers():
             _aval((NL, LTx)), _aval((Bx, 16, RTx), jnp.uint8),
             _aval((D, 16 * 256), jnp.bfloat16),
             _aval((Bx, RTx)), _aval((Bx, RTx)))
+
+
+def test_rerank_fn_lowers_tpu_cap_shapes_codes_resident():
+    """The ladder's spec100k serving mode: codes-resident + int8-minutiae
+    engine, reference-cap shapes (Lt=Rt=1000, Lm=Rm=128), m=512 rerank —
+    the exact config scripts/bench_ladder.py dispatches on the chip."""
+    LTc = RTc = 1000
+    LMc = RMc = 128
+    NLc, Bc = 4, 256
+    eng = MatchEngine(random_codebook(np.random.default_rng(0)),
+                      block_size=Bc, compute_dtype=jnp.bfloat16,
+                      codes_resident=True, minu_int8=True)
+    eng.force_tpu_path = True
+    G = 2 * Bc
+    lat = dict(minu_des=_aval((NLc, T, LMc, D)),
+               minu_xy=_aval((NLc, T, LMc, 2)),
+               minu_ori=_aval((NLc, T, LMc)),
+               minu_n=_aval((NLc, T), jnp.int32),
+               tex_des=_aval((NLc, LTc, D)),
+               tex_xy=_aval((NLc, LTc, 2)),
+               tex_ori=_aval((NLc, LTc)),
+               tex_n=_aval((NLc,), jnp.int32))
+    gal = dict(minu_des=_aval((G, D, RMc), jnp.int8),
+               minu_scale=_aval((1,)),
+               minu_x=_aval((G, RMc)), minu_y=_aval((G, RMc)),
+               minu_ori=_aval((G, RMc)), minu_n=_aval((G,), jnp.int32),
+               tex_sqnorm=_aval((G, RTc)),
+               tex_x=_aval((G, RTc)), tex_y=_aval((G, RTc)),
+               tex_ori=_aval((G, RTc)), tex_n=_aval((G,), jnp.int32),
+               tex_codes_t=_aval((G, 16, RTc), jnp.uint8))
+    fn = eng._rerank_fn(m_pad=Bc, tau=0.0, normalize=False)
+    jax_export.export(fn, platforms=["tpu"])(lat, gal)
