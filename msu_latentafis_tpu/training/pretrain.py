@@ -28,6 +28,14 @@ import jax
 
 if os.environ.get("PRETRAIN_CPU") == "1":
     jax.config.update("jax_platforms", "cpu")
+# On TPU the default matmul precision is bfloat16; the small stand-in nets
+# train fine with it MOST of the time, but the enhancement AEC measurably
+# converges to a worse plateau (flat L2, collapsed block mask on real SD27
+# latents) than the same seed trained in f32 on CPU. Training throughput is
+# dispatch-latency-bound through the tunnel anyway, so full-precision
+# matmuls cost nothing observable — force them.
+jax.config.update("jax_default_matmul_precision",
+                  os.environ.get("PRETRAIN_PRECISION", "highest"))
 import jax.numpy as jnp
 import numpy as np
 

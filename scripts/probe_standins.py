@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Fast stand-in health probe on the three SD27 sample latents.
+
+Runs ONLY the stages that have historically collapsed after a stand-in
+retrain (enhancement AEC -> dictionary quality map -> block mask; minutiae
+heatmaps at the reference decode thresholds) and prints one JSON line per
+latent plus a PASS/FAIL verdict. ~15 s/image on the chip vs minutes for a
+full extract — use between pretrain iterations to accept/reject a
+checkpoint set before paying for scripts/run_sd27.py.
+
+Health criteria (from the working round-3 run, commit 2374bd9: sets
+[188,194,12,25,28,30,167], mask_frac > 0): mask_frac >= 0.05 on every
+latent and detection sets 0/1/2 all nonempty.
+
+Usage: python scripts/probe_standins.py [--ckpt checkpoints/standin]
+"""
+import argparse
+import json
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+SAMPLES = ["good", "bad", "ugly"]
+SAMPLE_DIR = "/root/reference/sample_data"
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--ckpt", default="checkpoints/standin")
+    args = p.parse_args()
+
+    from msu_latentafis_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    import imageio.v2 as imageio
+
+    from msu_latentafis_tpu.ops import contrast as C
+    from msu_latentafis_tpu.ops import fft as F
+    from msu_latentafis_tpu.ops import maps, morphology
+    from msu_latentafis_tpu.pipeline.latent import adjust_image_size
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__))))
+    from run_sd27 import load_bundle
+
+    bundle = load_bundle(args.ckpt)
+    dict_all, dict_ori, dict_spacing = maps.construct_dictionary(ori_num=60)
+
+    ok = True
+    for name in SAMPLES:
+        img = np.asarray(imageio.imread(
+            os.path.join(SAMPLE_DIR, f"{name}_latent.bmp")), np.float64)
+        if img.ndim == 3:
+            img = img.mean(axis=2)
+        img = adjust_image_size(img)
+        texture_img = np.asarray(F.fast_cartoon_texture(img))
+        stft_texture = np.asarray(F.stft_enhance(texture_img))
+        contrast_img = np.asarray(C.local_contrast_enhancement_gaussian(img))
+        stft_img = np.asarray(F.stft_enhance(img))
+        contrast_stft = np.asarray(F.stft_enhance(contrast_img))
+
+        aec_img = bundle.enhance(stft_texture)
+        quality, dir_map, fre_map = maps.get_quality_map_dict(
+            aec_img, dict_all, dict_ori, dict_spacing)
+        quality = np.asarray(quality)
+        blk_aec = (quality > 0.45)
+        blk_aec = morphology.binary_closing(blk_aec, np.ones((3, 3), bool))
+        blk_aec = morphology.binary_opening(blk_aec, np.ones((3, 3), bool))
+        blk_ssim = maps.ssim_mask(stft_texture, aec_img, thr=0.2)
+        mask_frac = float((np.asarray(blk_ssim)
+                           * blk_aec.astype(np.int32) > 0).mean())
+
+        n0 = len(bundle.detect_minutiae(0, stft_img, 0.05))
+        n1 = len(bundle.detect_minutiae(0, contrast_stft, 0.10))
+        n2 = len(bundle.detect_minutiae(1, aec_img, 0.25))
+        d = {
+            "latent": name,
+            "quality_mean": round(float(quality.mean()), 4),
+            "quality_p90": round(float(np.quantile(quality, 0.9)), 4),
+            "blk_aec_frac": round(float(blk_aec.mean()), 4),
+            "blk_ssim_frac": round(float(np.asarray(blk_ssim).mean()), 4),
+            "mask_frac": round(mask_frac, 4),
+            "set0_stft@0.05": n0,
+            "set1_contrast_stft@0.10": n1,
+            "set2_aec@0.25": n2,
+        }
+        healthy = mask_frac >= 0.05 and n0 > 0 and n1 > 0 and n2 > 0
+        d["healthy"] = healthy
+        ok = ok and healthy
+        print(json.dumps(d), flush=True)
+    print("PROBE", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
