@@ -71,12 +71,14 @@ def bench_spec100k(results):
     run(lats[NL:])
     dt = time.time() - t0
     mode = f"rerank m={RERANK}" if RERANK else "dense exact"
-    results["spec100k"] = {
+    # key by mode so a dense rerun can't clobber the serving-mode headline
+    key = "spec100k" if RERANK else "spec100k_dense"
+    results[key] = {
         "metric": f"latents/s vs {G} gallery at cap shapes "
                   f"Lm={LM},Lt={LT},Rm={RM},Rt={RT} ({mode})",
         "latents_per_s": round(NL / dt, 4), "seconds": round(dt, 2),
         "n_latents": NL, "mode": mode}
-    print(json.dumps({"spec100k": results["spec100k"]}), flush=True)
+    print(json.dumps({key: results[key]}), flush=True)
 
 
 def bench_rolled1k(results):

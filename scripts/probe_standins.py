@@ -16,7 +16,6 @@ Usage: python scripts/probe_standins.py [--ckpt checkpoints/standin]
 """
 import argparse
 import json
-import math
 import os
 import sys
 
@@ -41,9 +40,7 @@ def main():
     from msu_latentafis_tpu.ops import fft as F
     from msu_latentafis_tpu.ops import maps, morphology
     from msu_latentafis_tpu.pipeline.latent import adjust_image_size
-    sys.path.insert(0, os.path.join(os.path.dirname(
-        os.path.abspath(__file__))))
-    from run_sd27 import load_bundle
+    from run_sd27 import load_bundle  # scripts dir is sys.path[0] when run directly
 
     bundle = load_bundle(args.ckpt)
     dict_all, dict_ori, dict_spacing = maps.construct_dictionary(ori_num=60)
@@ -51,7 +48,7 @@ def main():
     ok = True
     for name in SAMPLES:
         img = np.asarray(imageio.imread(
-            os.path.join(SAMPLE_DIR, f"{name}_latent.bmp")), np.float64)
+            os.path.join(SAMPLE_DIR, f"{name}_latent.bmp")), np.float32)
         if img.ndim == 3:
             img = img.mean(axis=2)
         img = adjust_image_size(img)
