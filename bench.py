@@ -1,12 +1,16 @@
 #!/usr/bin/env python
 """Benchmark: latents matched per second against a synthetic PQ gallery on
-one TPU chip, vs a CPU baseline reproducing the reference matcher's loop
-structure (8 OpenMP threads — matching/matcher.cpp:168).
+one TPU chip, vs the measured rate of the actual reference matcher binary.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Headline = the REFERENCE-CAP shape (Lm=Rm=128, Lt=Rt=1000 — matcher.h:31-32
+template capacities); the lighter SD27-like 448 shape is reported alongside
+in the metric string. Prints ONE JSON line:
+{"metric", "value", "unit", "vs_baseline"}.
 
-Env knobs: BENCH_GALLERY (default 100000), BENCH_LATENTS (default 4),
-BENCH_BLOCK (default 512).
+Env knobs: BENCH_GALLERY (default 100000), BENCH_LATENTS (default 8),
+BENCH_BLOCK (default 512), BENCH_SHAPES=cap|448|both (default both),
+BENCH_RERANK (default 512; 0 = dense exact), BENCH_CODES=1 (codes-resident
+gallery), BENCH_TEX_INT8 / BENCH_MINU_INT8.
 """
 import json
 import os
@@ -21,13 +25,13 @@ N_LATENTS = int(os.environ.get("BENCH_LATENTS", "8"))
 # 512-entry blocks measured fastest for both serving and dense (fewer
 # scan steps; the fused kernels bound their own VMEM tiles internally)
 BLOCK = int(os.environ.get("BENCH_BLOCK", "0")) or 512
-RM, RT, LM, LT, D = 96, 448, 64, 448, 96
+D = 96
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 CODEBOOK = "/root/reference/matching/codebook_EmbeddingSize_96_stride_16_subdim_6.dat"
 
 
-def cpu_baseline_pairs_per_s() -> float:
+def cpu_baseline_pairs_per_s(LM, RM, LT, RT) -> float:
     """Build/run the C++ replica of the reference's per-pair hot loops."""
     src = os.path.join(REPO, "tools", "cpu_baseline.cpp")
     binary = os.path.join(REPO, "tools", "cpu_baseline")
@@ -39,30 +43,13 @@ def cpu_baseline_pairs_per_s() -> float:
     return float(json.loads(out.stdout)["pairs_per_s"])
 
 
-def main():
-    import jax
-    from msu_latentafis_tpu.utils.cache import enable_compilation_cache
-    enable_compilation_cache()
-    import jax.numpy as jnp
-    from msu_latentafis_tpu.matcher.engine import DeviceGallery, MatchEngine
-    from msu_latentafis_tpu.templates import read_codebook
-    from msu_latentafis_tpu.templates.packing import pack_latent
-    from msu_latentafis_tpu.utils.synthetic import make_latent_template
+def run_shape(engine_cls, cb, jnp, jax, RM, RT, LM, LT, RERANK, CODES,
+              MINU_INT8, TEX_INT8, pack_latent, make_latent_template,
+              DeviceGallery):
+    engine = engine_cls(cb, block_size=BLOCK, compute_dtype=jnp.bfloat16,
+                        tex_int8=TEX_INT8, minu_int8=MINU_INT8,
+                        codes_resident=CODES)
 
-    cb = read_codebook(CODEBOOK)
-    # BENCH_CODES=1: codes-resident gallery (uint8 PQ codes in HBM, decode
-    # in VMEM — 16 B/minutia lets ~800K templates serve from one chip);
-    # BENCH_MINU_INT8=1: int8 minutiae descriptors (halves the other big
-    # array). Default: predecoded int8 textures (fastest at 100K).
-    CODES = os.environ.get("BENCH_CODES", "0") == "1"
-    MINU_INT8 = os.environ.get("BENCH_MINU_INT8", "0") == "1"
-    engine = MatchEngine(cb, block_size=BLOCK, compute_dtype=jnp.bfloat16,
-                         tex_int8=os.environ.get("BENCH_TEX_INT8", "1") == "1",
-                         minu_int8=MINU_INT8)
-
-    # device-side synthetic gallery in the engine's device layout
-    # (transposed descriptors, split x/y planes, pre-decoded textures),
-    # generated chunkwise to bound transients
     Gpad = ((G + BLOCK - 1) // BLOCK) * BLOCK
     chunk = 4096
     nchunks = (Gpad + chunk - 1) // chunk
@@ -129,13 +116,6 @@ def main():
                             quantize_tex_xy=False, minu_cap=LM, tex_cap=LT)
                 for _ in range(N_LATENTS)] for _ in range(n_rounds)]
 
-    # serving mode: screen-then-rerank (BENCH_RERANK=m, 0 = dense path).
-    # The rerank path returns exact scores for the top-m screened
-    # candidates plus the certified score threshold (engine docstring) —
-    # true mates clear the threshold by a wide margin, so the rank list is
-    # certifiably correct where it matters.
-    RERANK = int(os.environ.get("BENCH_RERANK", "512"))
-
     def run(batch):
         if RERANK:
             idx, exact, margin, thr = engine.match_scores_batch_reranked(
@@ -154,44 +134,95 @@ def main():
     for batch in batches:
         run(batch)
     dt = time.time() - t0
-    latents_per_s = n_rounds * N_LATENTS / dt
+    del gallery, g
+    return n_rounds * N_LATENTS / dt
 
-    # vs_baseline: prefer the measured rate of the ACTUAL reference binary
-    # (scripts/ref_baseline.py -> REF_BASELINE.json); fall back to the
-    # C++ cost-model replica (which skips the reference's per-pair disk
-    # reads and measures ~3.4x faster than the real binary — docs/PERF.md)
-    base_src = "none"
+
+def baseline_latents_per_s(shapes, ref_file):
+    """Measured reference-binary rate (scripts/ref_baseline.py) for the
+    matching shape; falls back to the C++ cost-model replica."""
     try:
-        ref_file = os.path.join(REPO, "REF_BASELINE.json")
-        if os.path.exists(ref_file):
-            with open(ref_file) as f:
+        path = os.path.join(REPO, ref_file)
+        if os.path.exists(path):
+            with open(path) as f:
                 ref = json.load(f)
             cpu_pairs = float(ref["pairs_per_s"])
-            # disclose the recorded measurement host so a stale/foreign
-            # baseline cannot silently inflate the speedup claim
-            base_src = (f"reference binary @ {ref.get('host', '?')}, "
-                        f"{ref.get('gallery', '?')}-gallery run")
+            src = (f"reference binary @ {ref.get('host', '?')}, "
+                   f"{ref.get('gallery', '?')}-gallery run")
             ncpu = os.cpu_count()
             if f"{ncpu} cores" not in str(ref.get("host", "")):
-                base_src += f" [current host: {ncpu} cores]"
+                src += f" [current host: {ncpu} cores]"
         else:
-            cpu_pairs = cpu_baseline_pairs_per_s()
-            base_src = "cost-model replica (this host)"
-        vs_baseline = latents_per_s / (cpu_pairs / G)
+            LM, RM, LT, RT = shapes
+            cpu_pairs = cpu_baseline_pairs_per_s(LM, RM, LT, RT)
+            src = "cost-model replica (this host)"
+        return cpu_pairs / G, src
     except Exception:
-        vs_baseline = float("nan")
+        return float("nan"), "unavailable"
 
-    mode = (f"screen+rerank top-{RERANK}, certified-threshold serving"
+
+def main():
+    import jax
+    from msu_latentafis_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    import jax.numpy as jnp
+    from msu_latentafis_tpu.matcher.engine import DeviceGallery, MatchEngine
+    from msu_latentafis_tpu.templates import read_codebook
+    from msu_latentafis_tpu.templates.packing import pack_latent
+    from msu_latentafis_tpu.utils.synthetic import make_latent_template
+
+    cb = read_codebook(CODEBOOK)
+    CODES = os.environ.get("BENCH_CODES", "0") == "1"
+    MINU_INT8 = os.environ.get("BENCH_MINU_INT8", "0") == "1"
+    TEX_INT8 = os.environ.get("BENCH_TEX_INT8", "1") == "1"
+    RERANK = int(os.environ.get("BENCH_RERANK", "512"))
+    WHICH = os.environ.get("BENCH_SHAPES", "both")
+
+    common = (MatchEngine, cb, jnp, jax)
+    kw = dict(RERANK=RERANK, CODES=CODES, MINU_INT8=MINU_INT8,
+              TEX_INT8=TEX_INT8, pack_latent=pack_latent,
+              make_latent_template=make_latent_template,
+              DeviceGallery=DeviceGallery)
+
+    r448 = rcap = None
+    if WHICH in ("both", "448"):
+        r448 = run_shape(*common, RM=96, RT=448, LM=64, LT=448, **kw)
+    if WHICH in ("both", "cap"):
+        # cap shapes need codes-resident texture at 100K (pre-decoded
+        # int8 reconstructions at Rt=1000 would be ~9.6 GB)
+        kw_cap = dict(kw, CODES=True, MINU_INT8=True)
+        rcap = run_shape(*common, RM=128, RT=1000, LM=128, LT=1000, **kw_cap)
+
+    mode = (f"screen+rerank top-{RERANK} serving"
             if RERANK else "dense exact")
-    print(json.dumps({
-        "metric": f"latents matched/s vs {G}-template PQ gallery "
-                  f"(1 chip; Lm={LM},Lt={LT},Rm={RM},Rt={RT}; {mode}; "
-                  f"cap-shape Lt=Rt=1000 ladder in BENCH_LADDER_r03.json; "
-                  f"baseline: {base_src})",
-        "value": round(latents_per_s, 4),
-        "unit": "latents/s",
-        "vs_baseline": round(vs_baseline, 2),
-    }))
+    if rcap is not None:
+        base, base_src = baseline_latents_per_s((128, 128, 1000, 1000),
+                                                "REF_BASELINE_CAP.json")
+        extra = (f"; 448-shape: {r448:.2f} latents/s"
+                 if r448 is not None else "")
+        print(json.dumps({
+            "metric": f"latents matched/s vs {G}-template PQ gallery at "
+                      f"REFERENCE-CAP shapes Lm=Rm=128, Lt=Rt=1000 "
+                      f"(matcher.h:31-32) on 1 chip; {mode}; top-24 "
+                      f"serving-vs-dense parity: results/rank_parity_100k"
+                      f".json{extra}; baseline: {base_src}",
+            "value": round(rcap, 4),
+            "unit": "latents/s",
+            "vs_baseline": round(rcap / base, 2) if base == base else
+            float("nan"),
+        }))
+    else:
+        base, base_src = baseline_latents_per_s((64, 96, 448, 448),
+                                                "REF_BASELINE.json")
+        print(json.dumps({
+            "metric": f"latents matched/s vs {G}-template PQ gallery "
+                      f"(1 chip; Lm=64,Lt=448,Rm=96,Rt=448; {mode}; "
+                      f"baseline: {base_src})",
+            "value": round(r448, 4),
+            "unit": "latents/s",
+            "vs_baseline": round(r448 / base, 2) if base == base else
+            float("nan"),
+        }))
 
 
 if __name__ == "__main__":

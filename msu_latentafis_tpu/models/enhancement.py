@@ -109,14 +109,16 @@ def enhance_tiled(apply_fn, variables, img: np.ndarray,
     return (canvas - lo) / (hi - lo + 1e-9) * 255.0
 
 
-def enhance_whole_image(apply_fn, variables, img: np.ndarray) -> np.ndarray:
+def enhance_whole_image(apply_fn, variables, img) -> jnp.ndarray:
     """Whole-image inference matching ImportGraph.run_whole_image
     (enhancement_AEC.py:89-104): x/128 - 1 in, min-max rescale to [0, 255]
-    out. ``apply_fn`` is a jitted model.apply closed over variables."""
+    out. ``apply_fn`` is a jitted model.apply closed over variables.
+    Returns a DEVICE array — downstream consumers (quality maps, SSIM,
+    minutiae net) all run on device, so the enhanced image never needs to
+    cross the host boundary."""
     x = jnp.asarray(img, jnp.float32) / 128.0 - 1.0
     x = x[None, :, :, None]
     x, h, w = pad_to_multiple(x, 32)
-    out = apply_fn(variables, x)
-    out = np.asarray(out[0, :h, :w, 0])
-    lo, hi = out.min(), out.max()
+    out = apply_fn(variables, x)[0, :h, :w, 0]
+    lo, hi = jnp.min(out), jnp.max(out)
     return (out - lo) / (hi - lo + 1e-9) * 255.0

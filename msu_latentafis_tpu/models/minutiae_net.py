@@ -136,5 +136,7 @@ def detect_minutiae_whole_image(apply_fn, variables, img: np.ndarray,
     x = x[None, :, :, None]
     x, h, w = pad_to_multiple(x, multiple)
     cyl = apply_fn(variables, x)
-    cyl = np.asarray(cyl[0, :h, :w, :])
-    return decode_minutiae(cyl, thr=minu_thr, refine_dist_thr=refine_dist_thr)
+    # stay on device: decode_cylinder consumes the [H, W, 12] heatmap there
+    # and only the decoded [<=1000, 4] candidate list crosses to host
+    return decode_minutiae(cyl[0, :h, :w, :], thr=minu_thr,
+                           refine_dist_thr=refine_dist_thr)

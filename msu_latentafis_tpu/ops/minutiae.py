@@ -83,28 +83,23 @@ def decode_cylinder(cylinder: jnp.ndarray, thr: float,
 
 def refine_minutiae(minutiae: np.ndarray, dist_thr: float = 10,
                     ori_dist: float = np.pi / 4) -> np.ndarray:
-    """Sequential pairwise suppression (prepare_data.py:446-472): for i < j,
-    drop j if closer than dist_thr, or within 20 px with similar
-    orientation. Order-dependent -> run on the (confidence-sorted) list."""
+    """Pairwise suppression (prepare_data.py:446-472): for i < j, drop j if
+    closer than dist_thr, or within 20 px with similar orientation.
+
+    The reference's loop never checks flag[i] — an already-dropped minutia
+    still suppresses later ones — so the result is order-independent given
+    the (confidence-sorted) input order and vectorizes exactly: j survives
+    iff no earlier i triggers either condition. The O(n^2) Python loop was
+    a measurable per-set cost in the extraction profile."""
     n = len(minutiae)
     if n == 0:
         return minutiae
-    flag = np.ones(n, bool)
-    xy = minutiae[:, :2]
-    d = cdist(xy, xy)
-    for i in range(n):
-        for j in range(i + 1, n):
-            if not flag[j]:
-                # reference keeps overwriting flag[j]=0; idempotent
-                pass
-            if d[i, j] < dist_thr:
-                flag[j] = False
-                continue
-            od = abs(minutiae[j, 2] - minutiae[i, 2])
-            od = min(od, 2 * np.pi - od)
-            if d[i, j] < 20 and od < ori_dist:
-                flag[j] = False
-    return minutiae[flag]
+    d = cdist(minutiae[:, :2], minutiae[:, :2])
+    od = np.abs(minutiae[:, 2][None, :] - minutiae[:, 2][:, None])
+    od = np.minimum(od, 2 * np.pi - od)
+    sup = (d < dist_thr) | ((d < 20) & (od < ori_dist))
+    sup = np.triu(sup, 1)                  # only i < j suppresses j
+    return minutiae[~sup.any(axis=0)]
 
 
 def remove_crowded_minutiae(minutiae: np.ndarray) -> np.ndarray:
@@ -118,17 +113,23 @@ def remove_crowded_minutiae(minutiae: np.ndarray) -> np.ndarray:
     if n < 3:
         return minutiae
     d = cdist(minutiae[:, :2], minutiae[:, :2])
+    # vectorized row-wise form of the reference loop: each row's verdict
+    # depends only on its own sorted neighbor distances, except the <5 px
+    # pair case which also drops the nearest neighbor (symmetric marking)
+    ds = np.sort(d, axis=1)                       # ds[:, 0] == 0 (self)
+    nn = np.argsort(d, axis=1)[:, 1]
     flag = np.ones(n, bool)
-    for i in range(n):
-        order = np.argsort(d[i])
-        if d[i, order[1]] < 5:
-            flag[i] = False
-            flag[order[1]] = False
-            continue
-        if np.mean(d[i, order[1:4]]) < 12:
-            flag[i] = False
-        if n > 5 and np.mean(d[i, order[1:6]]) < 25:
-            flag[i] = False
+    pair = ds[:, 1] < 5
+    flag[pair] = False
+    flag[nn[pair]] = False
+    # the reference `continue`s after the pair case, but those i are
+    # already dropped, so applying the mean checks unconditionally to
+    # non-pair rows gives the identical surviving set
+    mean3 = ds[:, 1:4].mean(axis=1)
+    flag &= ~(~pair & (mean3 < 12))
+    if n > 5:
+        mean5 = ds[:, 1:6].mean(axis=1)
+        flag &= ~(~pair & (mean5 < 25))
     return minutiae[flag]
 
 
@@ -158,29 +159,34 @@ def get_common_minutiae(minutiae_sets, thr: int = 3, init_ind: int = 3) -> np.nd
     points seen in >= thr sets."""
     if len(minutiae_sets[init_ind]) == 0:
         return np.zeros((0, 4))
-    mnt = [list(m[:4]) for m in np.asarray(minutiae_sets[init_ind])[:, :4]]
+    seed = np.asarray(minutiae_sets[init_ind], np.float64)[:, :4]
+    mnt = np.empty((len(seed), 4), np.float64)   # grown geometrically below
+    mnt[:] = seed
     count = [1.0] * len(mnt)
+    n = len(mnt)
     for i, mset in enumerate(minutiae_sets):
         if i == init_ind:
             continue
         for m in np.asarray(mset):
             x2, y2, ori2 = m[0], m[1], m[2]
-            found = False
-            for k, mk in enumerate(mnt):
-                dist = math.hypot(x2 - mk[0], y2 - mk[1])
-                od = abs(mk[2] - ori2)
-                if od > math.pi / 2:
-                    od = math.pi - od
-                if dist <= 10 and od < math.pi / 6:
-                    count[k] += 1
-                    found = True
-                    break
-            if not found:
-                mnt.append([x2, y2, ori2, 1])
+            # first-match-wins over the current list (the reference's inner
+            # Python scan, extraction_latent.py:236-246), vectorized
+            dx = mnt[:n, 0] - x2
+            dy = mnt[:n, 1] - y2
+            od = np.abs(mnt[:n, 2] - ori2)
+            od = np.where(od > math.pi / 2, math.pi - od, od)
+            hit = (dx * dx + dy * dy <= 100.0) & (od < math.pi / 6)
+            k = int(np.argmax(hit)) if hit.any() else -1
+            if k >= 0:
+                count[k] += 1
+            else:
+                if n == len(mnt):
+                    mnt = np.concatenate([mnt, np.empty_like(mnt)])
+                mnt[n] = (x2, y2, ori2, 1)
                 count.append(1)
+                n += 1
     count = np.asarray(count)
-    mnt = np.asarray(mnt, np.float64)
-    keep = mnt[count >= thr]
+    keep = mnt[:n][count >= thr]
     if len(keep):
         keep[:, 3] = 1
     return keep

@@ -81,6 +81,51 @@ def _bilinear_resize(patches: np.ndarray, out: int) -> np.ndarray:
     return top * (1 - wy)[None, :, None] + bot * wy[None, :, None]
 
 
+@functools.lru_cache(maxsize=4)
+def device_patch_grids(patch_types: Tuple[int, ...] = (2, 8, 11)):
+    """Rotation-grid offsets for the 96x96 patch types as device-resident
+    int16 [T, ORI_NUM, 96, 96] arrays (one-time ~28 MB upload; values are
+    within +/-160 so int16 is exact).
+
+    Only valid for patch types whose crop window is already 96x96 (no
+    resize): types 2, 8, 10, 11, 12, 14 and 7/9 (96-wide). The grids are
+    computed on the host in f64 exactly like :func:`get_patch_index` so the
+    rounded integer offsets match the host path bit-for-bit.
+    """
+    import jax.numpy as jnp
+    gx, gy = get_patch_index()
+    xs, ys = [], []
+    for pt in patch_types:
+        (xa, xb), (ya, yb) = _PATCH_LOCATIONS[pt]
+        assert xb - xa == 96 and yb - ya == 96, \
+            f"patch type {pt} needs resize; use the host path"
+        xs.append(gx[:, ya:yb, xa:xb])
+        ys.append(gy[:, ya:yb, xa:xb])
+    return (jnp.asarray(np.stack(xs), jnp.int16),
+            jnp.asarray(np.stack(ys), jnp.int16))
+
+
+def gather_patches_device(img_stack_flat, h: int, w: int, xb, yb, ori_ind,
+                          grids_x, grids_y):
+    """Device-side aligned-patch gather for all patch types at once.
+
+    ``img_stack_flat``: [H*W, I] f32 (images transposed so each gathered
+    row is contiguous); ``xb``/``yb``/``ori_ind``: [B] int32 padded
+    minutiae. Returns [T, B, 96, 96, I] patches. Exactly the host
+    ``extract_patches`` semantics (same integer grids, same clamping) —
+    but the ~9 K-element-per-minutia patch never crosses the 22 MB/s
+    host->device tunnel; only the [B] minutiae do.
+    """
+    import jax.numpy as jnp
+    T = grids_x.shape[0]
+    gx = grids_x[:, ori_ind].astype(jnp.int32)      # [T, B, 96, 96]
+    gy = grids_y[:, ori_ind].astype(jnp.int32)
+    xv = jnp.clip(gx + xb[None, :, None, None], 0, w - 1)
+    yv = jnp.clip(gy + yb[None, :, None, None], 0, h - 1)
+    fi = yv * w + xv                                # [T, B, 96, 96]
+    return jnp.take(img_stack_flat, fi, axis=0)     # [T, B, 96, 96, I]
+
+
 def extract_patches(minutiae: np.ndarray, img, patch_type: int = 1,
                     patch_size: int = 96) -> np.ndarray:
     """Aligned patches [N, patch_size, patch_size] for all minutiae.

@@ -54,6 +54,7 @@ class LatentFeatureExtractor:
     # ------------------------------------------------------------------
     def extract(self, img: np.ndarray, ppi: int = 500,
                 max_size: int = 1000) -> Optional[Template]:
+        import jax.numpy as jnp
         t_start = time.perf_counter()
         img = np.asarray(img, np.float32)
         if ppi != 500:
@@ -64,15 +65,36 @@ class LatentFeatureExtractor:
         if h > max_size and w > max_size:
             return None
 
-        # --- preprocessing variants
-        texture_img = np.asarray(F.fast_cartoon_texture(img))
-        stft_texture = np.asarray(F.stft_enhance(texture_img))
-        contrast_img = np.asarray(C.local_contrast_enhancement_gaussian(img))
-        stft_img = np.asarray(F.stft_enhance(img))
-        contrast_stft = np.asarray(F.stft_enhance(contrast_img))
+        # --- preprocessing variants — all DEVICE-resident: through the
+        # remote-TPU tunnel, host->device uploads run at ~22 MB/s
+        # (MICROBENCH_TUNNEL.json), so every np.asarray boundary that
+        # re-uploads an intermediate image costs ~0.1 s. The image crosses
+        # once; per-stage sync (for honest stage timing) only under
+        # EXTRACT_SYNC_TIMINGS=1.
+        tick = time.perf_counter()
+        sync = os.environ.get("EXTRACT_SYNC_TIMINGS") == "1"
+
+        def _lap(key, *sync_arrs):
+            nonlocal tick
+            if sync:
+                for a in sync_arrs:
+                    np.asarray(a)
+            now = time.perf_counter()
+            self.timings[key] = now - tick
+            tick = now
+
+        dimg = jnp.asarray(img)
+        texture_img = F.fast_cartoon_texture(dimg)
+        _lap("cartoon", texture_img)
+        stft_texture = F.stft_enhance(texture_img)
+        contrast_img = C.local_contrast_enhancement_gaussian(dimg)
+        stft_img = F.stft_enhance(dimg)
+        contrast_stft = F.stft_enhance(contrast_img)
+        _lap("stft_x3", stft_texture, stft_img, contrast_stft)
 
         # --- AEC enhancement + maps + mask
         aec_img = self.models.enhance(stft_texture)
+        _lap("aec", aec_img)
         quality, dir_map, fre_map = maps.get_quality_map_dict(
             aec_img, self.dict_all, self.dict_ori, self.dict_spacing)
         quality = np.asarray(quality)
@@ -88,6 +110,7 @@ class LatentFeatureExtractor:
         mask = cv2.resize(blkmask.astype(float), (BLOCK * blkW, BLOCK * blkH),
                           interpolation=cv2.INTER_LINEAR)
         mask = (mask > 0).astype(np.float64)
+        _lap("maps_mask")
 
         # --- minutiae sets
         minutiae_sets: List[np.ndarray] = []
@@ -96,25 +119,29 @@ class LatentFeatureExtractor:
         mnt_aec = self.models.detect_minutiae(1, aec_img, 0.25)
         mnt_aec = M.remove_spurious_minutiae(mnt_aec, mask)
         minutiae_sets.append(mnt_aec)
+        _lap("detect_3")
 
         enh_contrast = gabor.gabor_filtering_pixel2(
             contrast_img, dir_map + math.pi / 2, fre_map,
             mask=np.ones((h, w), np.uint8))
-        mnt_contrast = self.models.detect_minutiae(1, enh_contrast, 0.25)
-        mnt_contrast = M.remove_spurious_minutiae(mnt_contrast, mask)
-        minutiae_sets.append(mnt_contrast)
-
         enh_texture = gabor.gabor_filtering_pixel2(
             texture_img, dir_map + math.pi / 2, fre_map,
             mask=np.ones((h, w), np.uint8))
+        _lap("gabor_x2", enh_contrast, enh_texture)
+
+        mnt_contrast = self.models.detect_minutiae(1, enh_contrast, 0.25)
+        mnt_contrast = M.remove_spurious_minutiae(mnt_contrast, mask)
+        minutiae_sets.append(mnt_contrast)
         mnt_texture = self.models.detect_minutiae(1, enh_texture, 0.25)
         mnt_texture = M.remove_spurious_minutiae(mnt_texture, mask)
         minutiae_sets.append(mnt_texture)
+        _lap("detect_2")
 
         mnt2 = M.get_common_minutiae(minutiae_sets, thr=2)
         mnt3 = M.get_common_minutiae(minutiae_sets, thr=3)
         minutiae_sets.append(mnt3)
         minutiae_sets.append(mnt2)
+        _lap("consensus")
         self.timings["minutiae"] = time.perf_counter() - t_start
         self.diag = {
             "quality_mean": float(quality.mean()),
@@ -125,13 +152,16 @@ class LatentFeatureExtractor:
             "minutiae_per_set": [int(len(m)) for m in minutiae_sets],
         }
 
-        # --- 7 sets x 4 descriptor images = 28 minutiae templates
+        # --- 7 sets x 4 descriptor images = 28 minutiae templates, via one
+        # fused (gather + nets) dispatch per set over the device-resident
+        # image stack (order matches extraction_latent.py:175-181)
         t0 = time.perf_counter()
-        descriptor_imgs = [stft_img, texture_img, enh_texture, enh_contrast]
+        stack = self.models.prepare_image_stack(
+            [stft_img, texture_img, enh_texture, enh_contrast])
         template = Template()
         for mnt in minutiae_sets:
-            for des_img in descriptor_imgs:
-                des = self.models.describe(des_img, mnt)
+            per_img = self.models.describe_stack(stack, mnt)
+            for des in per_img:
                 template.add_minu_template(MinuTemplate(
                     h=h, w=w, blkH=blkH, blkW=blkW,
                     minutiae=np.asarray(mnt).reshape(-1, 4) if len(mnt) else np.zeros((0, 4)),

@@ -44,8 +44,10 @@ class RolledFeatureExtractor:
         self.timings["cropping"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        contrast_img = np.asarray(C.local_contrast_enhancement(img))
-        texture_img = np.asarray(F.fast_cartoon_texture(img))
+        import jax.numpy as jnp
+        dimg = jnp.asarray(img, jnp.float32)        # one 22 MB/s upload
+        contrast_img = C.local_contrast_enhancement(dimg)
+        texture_img = F.fast_cartoon_texture(dimg)
         # the rolled path runs the 64-patch modified variant (bundle slot 2;
         # extraction_rolled.py:15 imports minutiae_AEC_modified), thr 0.15
         mnt = self.models.detect_minutiae(2, texture_img, 0.15)
@@ -53,11 +55,10 @@ class RolledFeatureExtractor:
         self.timings["minutiae"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        des = self.models.describe(img, mnt, batch_size=256)
+        des = self.models.describe(dimg, mnt, batch_size=256)
         self.timings["descriptors"] = time.perf_counter() - t0
 
-        dir_map, _ = maps.get_maps_stft(
-            np.asarray(F.fast_cartoon_texture(img)))
+        dir_map, _ = maps.get_maps_stft(texture_img)
         dir_map = np.asarray(dir_map)
 
         blkH, blkW = h // BLOCK, w // BLOCK
@@ -70,7 +71,9 @@ class RolledFeatureExtractor:
         t0 = time.perf_counter()
         virtual = self._virtual_minutiae(mask, dir_map, h, w)
         if len(virtual) > 3:
-            vdes = self.models.describe(contrast_img, virtual, batch_size=128)
+            # batch 256 shares the compiled (I=1, B=256) describe shape with
+            # the real-minutiae call above
+            vdes = self.models.describe(contrast_img, virtual, batch_size=256)
             template.add_texture_template(TextureTemplate(
                 h=h, w=w, minutiae=virtual, des=vdes, mask=mask))
         self.timings["texture"] = time.perf_counter() - t0

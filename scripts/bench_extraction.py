@@ -1,11 +1,16 @@
 #!/usr/bin/env python
 """Extraction throughput on the real chip: seconds/image for the full
-latent and rolled pipelines (SD27-shaped 768x800 inputs), with the
-pipeline's per-stage phase timings.
+latent and rolled pipelines (SD27-shaped 768x800 inputs).
 
-Two passes per pipeline: the first pays per-shape compiles, the second is
-the steady-state number. Writes BENCH_EXTRACT_r03.json. Run alone
-(single TPU tunnel).
+Two measurement modes per pipeline:
+  - async (default): steady-state seconds/image with the pipeline's
+    natural overlap (the headline number);
+  - sync (EXTRACT_SYNC_TIMINGS=1 re-run): per-stage wall attribution with
+    a forced device sync at each stage boundary (slightly slower overall;
+    the per-stage split is only honest in this mode).
+
+The first pass per pipeline pays per-shape compiles. Writes
+BENCH_EXTRACT_r04.json. Run alone (single TPU tunnel).
 """
 import json
 import os
@@ -17,7 +22,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT = os.path.join(REPO, "BENCH_EXTRACT_r03.json")
+OUT = os.path.join(REPO, "BENCH_EXTRACT_r04.json")
 
 
 def main():
@@ -32,31 +37,30 @@ def main():
     bundle = ModelBundle.initialize()
     results = {}
 
-    imgs = [render_ridge_image(rng, 768, 800)[0] for _ in range(2)]
+    imgs = [render_ridge_image(rng, 768, 800)[0] for _ in range(3)]
 
-    rolled_x = RolledFeatureExtractor(models=bundle)
-    t0 = time.time()
-    rolled_x.extract(imgs[0])
-    compile_s = time.time() - t0
-    t0 = time.time()
-    rolled_x.extract(imgs[1])
-    results["rolled"] = {"seconds_per_image": round(time.time() - t0, 3),
-                         "first_call_s": round(compile_s, 1),
-                         "stages": {k: round(v, 3)
-                                    for k, v in rolled_x.timings.items()}}
-    print(json.dumps({"rolled": results["rolled"]}), flush=True)
+    def run_one(extractor, name):
+        t0 = time.time()
+        extractor.extract(imgs[0])
+        compile_s = time.time() - t0
+        t0 = time.time()
+        extractor.extract(imgs[1])
+        steady = time.time() - t0
+        os.environ["EXTRACT_SYNC_TIMINGS"] = "1"
+        t0 = time.time()
+        extractor.extract(imgs[2])
+        sync_s = time.time() - t0
+        os.environ.pop("EXTRACT_SYNC_TIMINGS", None)
+        results[name] = {
+            "seconds_per_image": round(steady, 3),
+            "seconds_per_image_synced": round(sync_s, 3),
+            "first_call_s": round(compile_s, 1),
+            "stages_synced": {k: round(v, 3)
+                              for k, v in extractor.timings.items()}}
+        print(json.dumps({name: results[name]}), flush=True)
 
-    latent_x = LatentFeatureExtractor(models=bundle)
-    t0 = time.time()
-    latent_x.extract(imgs[0])
-    compile_s = time.time() - t0
-    t0 = time.time()
-    latent_x.extract(imgs[1])
-    results["latent"] = {"seconds_per_image": round(time.time() - t0, 3),
-                         "first_call_s": round(compile_s, 1),
-                         "stages": {k: round(v, 3)
-                                    for k, v in latent_x.timings.items()}}
-    print(json.dumps({"latent": results["latent"]}), flush=True)
+    run_one(RolledFeatureExtractor(models=bundle), "rolled")
+    run_one(LatentFeatureExtractor(models=bundle), "latent")
 
     with open(OUT, "w") as f:
         json.dump(results, f, indent=1)

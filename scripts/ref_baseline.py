@@ -84,7 +84,10 @@ def build():
 
 def main():
     G = int(os.environ.get("REF_GALLERY", "300"))
-    rm, rt, lm, lt = 96, 448, 64, 448
+    # REF_SHAPES=cap: the reference's own template caps (matcher.h:31-32,
+    # Lt=Rt=1000 incl. virtual minutiae) -> REF_BASELINE_CAP.json
+    cap = os.environ.get("REF_SHAPES", "") == "cap"
+    rm, rt, lm, lt = (128, 1000, 128, 1000) if cap else (96, 448, 64, 448)
 
     
     from msu_latentafis_tpu.templates import (read_codebook,
@@ -142,7 +145,8 @@ def main():
         "pairs_per_s": round(G / dt, 3),
         "stdout_tail": tail,
     }
-    with open(os.path.join(REPO, "REF_BASELINE.json"), "w") as f:
+    name = "REF_BASELINE_CAP.json" if cap else "REF_BASELINE.json"
+    with open(os.path.join(REPO, name), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out, indent=1))
 

@@ -182,6 +182,59 @@ def test_consensus_voting():
     assert len(common) == 2           # both base points seen 3x; 'other' only once
 
 
+def test_refine_minutiae_matches_reference_loop(rng):
+    """Vectorized suppression == the reference's sequential double loop
+    (prepare_data.py:446-472, which never reads flag[i])."""
+    from scipy.spatial.distance import cdist
+    from msu_latentafis_tpu.ops.minutiae import refine_minutiae
+    for _ in range(10):
+        n = int(rng.integers(2, 120))
+        m = np.column_stack([rng.uniform(0, 120, (n, 2)),
+                             rng.uniform(0, 2 * np.pi, n),
+                             rng.random(n)])
+        flag = np.ones(n, bool)
+        d = cdist(m[:, :2], m[:, :2])
+        for i in range(n):
+            for j in range(i + 1, n):
+                if d[i, j] < 10:
+                    flag[j] = False
+                    continue
+                od = abs(m[j, 2] - m[i, 2])
+                od = min(od, 2 * np.pi - od)
+                if d[i, j] < 20 and od < np.pi / 4:
+                    flag[j] = False
+        want = m[flag]
+        got = refine_minutiae(m.copy())
+        assert np.array_equal(got, want)
+
+
+def test_remove_crowded_matches_reference_loop(rng):
+    """Vectorized crowding filter == the reference loop
+    (minutiae_AEC.py:90-118 semantics)."""
+    from scipy.spatial.distance import cdist
+    from msu_latentafis_tpu.ops.minutiae import remove_crowded_minutiae
+    for _ in range(10):
+        n = int(rng.integers(3, 150))
+        m = np.column_stack([rng.uniform(0, 80, (n, 2)),
+                             rng.uniform(0, 2 * np.pi, n),
+                             rng.random(n)])
+        d = cdist(m[:, :2], m[:, :2])
+        flag = np.ones(n, bool)
+        for i in range(n):
+            order = np.argsort(d[i])
+            if d[i, order[1]] < 5:
+                flag[i] = False
+                flag[order[1]] = False
+                continue
+            if np.mean(d[i, order[1:4]]) < 12:
+                flag[i] = False
+            if n > 5 and np.mean(d[i, order[1:6]]) < 25:
+                flag[i] = False
+        want = m[flag]
+        got = remove_crowded_minutiae(m.copy())
+        assert np.array_equal(got, want)
+
+
 def test_gabor_kernel_bank_shape():
     from msu_latentafis_tpu.ops.gabor import get_gabor_filters
     bank = get_gabor_filters()
@@ -189,6 +242,36 @@ def test_gabor_kernel_bank_shape():
     assert np.all(bank[:, :5] == 0)        # frequencies < 5 unused
     # int16-quantized, roughly zero-mean kernels
     assert abs(bank[10, 10].mean()) < 3.0
+
+
+def test_gabor_apply_matches_per_pixel_gather(rng):
+    """The one-hot-matmul + im2col formulation must equal the direct
+    per-pixel kernel-selection sum (filtering.py:176-187 semantics)."""
+    import jax.numpy as jnp
+    from msu_latentafis_tpu.ops.gabor import (KHALF, KMAX, _gabor_apply,
+                                              get_gabor_filters)
+    h, w = 40, 48
+    img = rng.uniform(0, 255, (h, w)).astype(np.float32)
+    bank = get_gabor_filters()
+    nb = bank.shape[0] * bank.shape[1]
+    bucket = rng.integers(0, nb, (h, w)).astype(np.int32)
+    active = rng.random((h, w)) > 0.3
+    bank_flat = bank.reshape(nb, KMAX * KMAX)
+
+    padded = np.pad(img, KHALF)
+    want = np.zeros((h, w), np.float64)
+    for i in range(h):
+        for j in range(w):
+            if not active[i, j]:
+                continue
+            patch = padded[i:i + KMAX, j:j + KMAX].reshape(-1)
+            want[i, j] = np.dot(patch.astype(np.float64),
+                                bank_flat[bucket[i, j]].astype(np.float64))
+    lo, hi = want.min(), want.max()
+    want = (want - lo + 1e-4) / (hi - lo + 1e-4) * 255.0
+    got = np.asarray(_gabor_apply(jnp.asarray(img), jnp.asarray(bucket),
+                                  jnp.asarray(active), jnp.asarray(bank_flat)))
+    assert np.allclose(got, want, rtol=1e-4, atol=2e-2)
 
 
 def test_evaluate_metrics(rng):
