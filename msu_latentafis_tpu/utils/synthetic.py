@@ -136,6 +136,121 @@ def synthetic_packed_gallery(rng: np.random.Generator, codebook: np.ndarray,
                          names=[str(i) for i in range(G)])
 
 
+def device_synthetic_gallery(engine, G: int, n_minu: int = 96,
+                             n_tex: int = 448, des_dim: int = 96,
+                             codes_resident: bool = False, seed: int = 0,
+                             chunk: int = 4096):
+    """Generate a DeviceGallery of G synthetic rolled templates DIRECTLY on
+    device in the engine's layout (transposed descriptors, split x/y
+    planes, codes-resident or pre-decoded int8 textures). Host-side
+    generation + upload of a 100K-1M gallery would take minutes through the
+    22 MB/s tunnel; this builds it with on-device RNG in seconds.
+    Used by bench.py-style scale benchmarks and the rank-parity script."""
+    import jax
+    import jax.numpy as jnp
+    from ..matcher.engine import DeviceGallery
+
+    RM, RT, D = n_minu, n_tex, des_dim
+    block = engine.block_size
+    Gpad = ((G + block - 1) // block) * block
+    nchunks = (Gpad + chunk - 1) // chunk
+    Gpad = nchunks * chunk
+    MSCALE = DES_NORM / 127.0 + 1e-12
+
+    def gen_chunk(key):
+        ks = jax.random.split(key, 8)
+        minu_des = jax.random.normal(ks[0], (chunk, D, RM), jnp.bfloat16)
+        norm = jnp.sqrt(jnp.sum(minu_des.astype(jnp.float32) ** 2, 1,
+                                keepdims=True)) + 1e-6
+        minu_des = (minu_des / norm * DES_NORM).astype(jnp.bfloat16)
+        if getattr(engine, "minu_int8", False):
+            minu_des = jnp.clip(jnp.round(
+                minu_des.astype(jnp.float32) / MSCALE), -127, 127) \
+                .astype(jnp.int8)
+        codes = jax.random.randint(ks[1], (chunk, RT, 16), 0, 256,
+                                   jnp.int32).astype(jnp.uint8)
+        dec = engine._decode(codes)                       # [chunk, RT, D]
+        tex_sqnorm = jnp.sum(dec.astype(jnp.float32) ** 2, axis=-1)
+        if codes_resident:
+            tex_field = dict(tex_codes_t=jnp.swapaxes(codes, 1, 2))
+        else:
+            if engine.tex_int8:
+                dec = jnp.clip(jnp.round(dec.astype(jnp.float32)
+                                         / engine._tex_scale_g),
+                               -127, 127).astype(jnp.int8)
+            tex_field = dict(tex_dec=jnp.swapaxes(dec, 1, 2))
+        return dict(
+            **tex_field,
+            minu_des=minu_des,
+            minu_x=jax.random.uniform(ks[2], (chunk, RM), jnp.float32, 24, 488),
+            minu_y=jax.random.uniform(ks[3], (chunk, RM), jnp.float32, 24, 488),
+            minu_ori=jax.random.uniform(ks[4], (chunk, RM), jnp.float32,
+                                        -np.pi, np.pi),
+            minu_n=jnp.full((chunk,), RM, jnp.int32),
+            tex_sqnorm=tex_sqnorm,
+            tex_x=jnp.floor(jax.random.uniform(ks[5], (chunk, RT),
+                                               jnp.float32, 0, 30)),
+            tex_y=jnp.floor(jax.random.uniform(ks[6], (chunk, RT),
+                                               jnp.float32, 0, 30)),
+            tex_ori=jax.random.uniform(ks[7], (chunk, RT), jnp.float32,
+                                       -np.pi, np.pi),
+            tex_n=jnp.full((chunk,), RT, jnp.int32),
+        )
+
+    keys = jax.random.split(jax.random.PRNGKey(seed), nchunks)
+
+    @jax.jit
+    def gen_all(keys):
+        out = jax.lax.map(gen_chunk, keys)
+        return {k: v.reshape((Gpad,) + v.shape[2:]) for k, v in out.items()}
+
+    g = gen_all(keys)
+    jax.block_until_ready(g["minu_des"])
+    minu_scale = (jnp.full((1,), MSCALE, jnp.float32)
+                  if getattr(engine, "minu_int8", False) else None)
+    return DeviceGallery(names=[str(i) for i in range(G)], n_real=G,
+                         tex_codes=None, minu_scale=minu_scale, **g)
+
+
+def plant_gallery_entries(gallery, engine, packed_mates, positions):
+    """Overwrite gallery rows at ``positions`` with real packed templates
+    (e.g. planted mates for rank-parity experiments). ``packed_mates`` is a
+    PackedGallery of len(positions) entries; conversion to the engine's
+    device layout reuses engine.load_gallery."""
+    import dataclasses
+    import jax.numpy as jnp
+    small = engine.load_gallery(packed_mates)
+    n = len(positions)
+    pos = jnp.asarray(np.asarray(positions, np.int32))
+    updates = {}
+    for f in dataclasses.fields(gallery):
+        name = f.name
+        big = getattr(gallery, name)
+        sm = getattr(small, name, None)
+        if name in ("names", "n_real", "minu_scale") or big is None:
+            continue
+        if name == "tex_codes_t" and sm is None and small.tex_codes is not None:
+            S = big.shape[1]
+            sm = jnp.swapaxes(small.tex_codes.reshape(
+                small.tex_codes.shape[0], -1, S), 1, 2)
+        if sm is None:
+            continue
+        sm = sm[:n]
+        if name == "minu_des" and gallery.minu_scale is not None:
+            # requantize the mates into the BIG gallery's int8 scale (the
+            # engine applies one global minu_scale at screen/match time)
+            sm = jnp.clip(jnp.round(
+                sm.astype(jnp.float32) * small.minu_scale[0]
+                / gallery.minu_scale[0]), -127, 127)
+        sm = sm.astype(big.dtype)
+        # pad the per-entry axes up to the big gallery's R capacity
+        pads = [(0, 0)] + [(0, b - s) for b, s in zip(big.shape[1:],
+                                                      sm.shape[1:])]
+        sm = jnp.pad(sm, pads)
+        updates[name] = big.at[pos].set(sm)
+    return dataclasses.replace(gallery, **updates)
+
+
 def make_latent_template(rng: np.random.Generator, n_minu: int = 30,
                          n_tex: int = 200, des_dim: int = 96,
                          n_minu_templates: int = 28, h: int = 512,

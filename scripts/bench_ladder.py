@@ -5,14 +5,21 @@ Entries (select with LADDER=a,b,c env; default all):
   spec100k  - 100K-entry PQ gallery at reference-cap shapes
               (Lt=Rt=1000 virtual minutiae, matcher.h:31-32; codes-resident
               texture so HBM holds u8 codes) — the honest headline shape.
+  spec500k  - single-chip capacity proof: codes-resident gallery at
+              SPEC_GALLERY=500000 (the bench.py HBM-capacity claim),
+              448 shapes; records latents/s + device memory stats.
   rolled1k  - config 2: 1K rolled gallery matched symmetrically (every
               rolled print as the query, minutiae path) -> pairs/s.
+  mated1k   - config 2 ACCURACY: 1K fingers x 2 impressions (noisy
+              renditions); impression B queries the A-enrolled gallery ->
+              rank-1 mate retrieval + CMC@5 (replaces the near-trivial
+              self-match rank-1 of r3).
   scale     - config 5 stand-in: gallery-sharded match on a 1/2/4/8-device
               VIRTUAL CPU mesh; reports parallel efficiency of the
               shard_map path (the ratio, not the absolute CPU speed).
 
 Writes one JSON object per line to stdout and the full dict to
-BENCH_LADDER_r03.json. Run alone (single TPU tunnel).
+BENCH_LADDER_r04.json. Run alone (single TPU tunnel).
 """
 import json
 import os
@@ -25,7 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CODEBOOK = "/root/reference/matching/codebook_EmbeddingSize_96_stride_16_subdim_6.dat"
-OUT = os.path.join(REPO, "BENCH_LADDER_r03.json")
+OUT = os.path.join(REPO, "BENCH_LADDER_r04.json")
 
 
 def _sync(r):
@@ -79,6 +86,122 @@ def bench_spec100k(results):
         "latents_per_s": round(NL / dt, 4), "seconds": round(dt, 2),
         "n_latents": NL, "mode": mode}
     print(json.dumps({key: results[key]}), flush=True)
+
+
+def bench_spec500k(results):
+    """Single-chip capacity: codes-resident gallery at 500K (bench.py's
+    '~800K templates from one chip' claim has never been exercised past
+    100K — VERDICT r3 #7). Serving-path latents/s + HBM occupancy."""
+    import jax
+    import jax.numpy as jnp
+    from msu_latentafis_tpu.matcher.engine import MatchEngine
+    from msu_latentafis_tpu.templates import read_codebook
+    from msu_latentafis_tpu.templates.packing import pack_latent
+    from msu_latentafis_tpu.utils.synthetic import (device_synthetic_gallery,
+                                                    make_latent_template)
+
+    G = int(os.environ.get("SPEC500K_GALLERY", "500000"))
+    RM, RT, LM, LT = 96, 448, 64, 448
+    cb = read_codebook(CODEBOOK)
+    engine = MatchEngine(cb, block_size=512, compute_dtype=jnp.bfloat16,
+                         codes_resident=True, minu_int8=True)
+    gal = device_synthetic_gallery(engine, G, n_minu=RM, n_tex=RT,
+                                   codes_resident=True, seed=17)
+    rng = np.random.default_rng(19)
+    lats = [pack_latent(make_latent_template(rng, n_minu=LM, n_tex=LT),
+                        quantize_tex_xy=False, minu_cap=LM, tex_cap=LT)
+            for _ in range(8)]
+
+    def run(batch):
+        idx, exact, margin, thr = engine.match_scores_batch_reranked(
+            batch, gal, m=512)
+        return float(exact[0, :4].sum())
+
+    run(lats[:4])
+    t0 = time.time()
+    run(lats[4:])
+    dt = time.time() - t0
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        hbm = {k: stats[k] for k in ("bytes_in_use", "peak_bytes_in_use")
+               if k in stats}
+    except Exception:
+        hbm = {}
+    results["spec500k_codes"] = {
+        "metric": f"serving latents/s vs {G} codes-resident gallery "
+                  f"(Rm={RM},Rt={RT}; u8 PQ codes in HBM, VMEM decode)",
+        "latents_per_s": round(4 / dt, 4), "seconds": round(dt, 2),
+        "hbm": hbm}
+    print(json.dumps({"spec500k_codes": results["spec500k_codes"]}),
+          flush=True)
+
+
+def bench_mated1k(results):
+    """Config-2 accuracy with MATED pairs: 1K synthetic fingers enrolled
+    from impression A; impression B (independent descriptor noise, jittered
+    coordinates, re-encoded PQ codes) queries the gallery. Rank-1/CMC@5 of
+    the true finger — a real retrieval signal, unlike r3's self-match."""
+    import jax.numpy as jnp
+    from msu_latentafis_tpu.matcher.engine import MatchEngine
+    from msu_latentafis_tpu.ops.pq import pq_decode, pq_encode
+    from msu_latentafis_tpu.templates import read_codebook
+    from msu_latentafis_tpu.templates.packing import PackedLatent
+    from msu_latentafis_tpu.utils.synthetic import (DES_NORM,
+                                                    synthetic_packed_gallery)
+
+    G = int(os.environ.get("MATED_GALLERY", "1000"))
+    NQ = int(os.environ.get("MATED_QUERIES", "64"))
+    NOISE = float(os.environ.get("MATED_NOISE", "0.35"))
+    RM, RT = 96, 448
+    cb = read_codebook(CODEBOOK)
+    rng = np.random.default_rng(29)
+    packed = synthetic_packed_gallery(rng, cb, G=G, n_minu=RM, n_tex=RT)
+
+    engine = MatchEngine(cb, block_size=256, compute_dtype=jnp.bfloat16,
+                         tex_int8=True)
+    gal = engine.load_gallery(packed)
+
+    # impression B for the first NQ fingers: noisy second rendition
+    queries = []
+    for i in range(NQ):
+        md = packed.minu_des[i] + NOISE * rng.standard_normal(
+            (RM, 96)).astype(np.float32)
+        md /= np.linalg.norm(md, axis=1, keepdims=True) + 1e-7
+        md *= DES_NORM
+        mxy = packed.minu_xy[i] + rng.normal(0, 3.0, (RM, 2))
+        tdes = pq_decode(packed.tex_codes[i], cb).astype(np.float32)
+        tdes += NOISE * rng.standard_normal(tdes.shape).astype(np.float32)
+        # renormalize to the post-DR norm (descriptor_DR.py:150-153) — the
+        # ADC similarity 6 - |x - c|^2 assumes unit-1.73 descriptors
+        tdes *= DES_NORM / (np.linalg.norm(tdes, axis=1, keepdims=True)
+                            + 1e-7)
+        queries.append(PackedLatent(
+            minu_des=md[None].astype(np.float32),
+            minu_xy=mxy[None].astype(np.float32),
+            minu_ori=packed.minu_ori[i][None],
+            minu_n=packed.minu_n[i][None],
+            tex_des=tdes,
+            tex_xy=packed.tex_xy[i], tex_ori=packed.tex_ori[i],
+            tex_n=packed.tex_n[i]))
+
+    ranks = []
+    t0 = time.time()
+    for i0 in range(0, NQ, 8):
+        s = np.asarray(engine.match_scores_batch(queries[i0:i0 + 8], gal))
+        for k in range(s.shape[0]):
+            order = np.argsort(-s[k, :G], kind="stable")
+            ranks.append(int(np.where(order == i0 + k)[0][0]) + 1)
+    dt = time.time() - t0
+    ranks = np.asarray(ranks)
+    results["mated1k"] = {
+        "metric": f"mated-pair retrieval: impression B vs {G} A-enrolled "
+                  f"gallery (descriptor noise {NOISE}, 3 px jitter)",
+        "queries": NQ,
+        "rank1": round(float((ranks == 1).mean()), 4),
+        "cmc5": round(float((ranks <= 5).mean()), 4),
+        "mean_rank": round(float(ranks.mean()), 2),
+        "queries_per_s": round(NQ / dt, 3)}
+    print(json.dumps({"mated1k": results["mated1k"]}), flush=True)
 
 
 def bench_rolled1k(results):
@@ -208,12 +331,14 @@ print("RESULT " + json.dumps(out))
 def main():
     from msu_latentafis_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
-    which = os.environ.get("LADDER", "spec100k,rolled1k,scale").split(",")
+    which = os.environ.get(
+        "LADDER", "spec100k,spec500k,rolled1k,mated1k,scale").split(",")
     results = {}
     if os.path.exists(OUT):
         results = json.load(open(OUT))
     for name in which:
-        {"spec100k": bench_spec100k, "rolled1k": bench_rolled1k,
+        {"spec100k": bench_spec100k, "spec500k": bench_spec500k,
+         "rolled1k": bench_rolled1k, "mated1k": bench_mated1k,
          "scale": bench_scale}[name](results)
         with open(OUT, "w") as f:
             json.dump(results, f, indent=1)
