@@ -1,13 +1,14 @@
 #!/usr/bin/env python
 """Phase profile of the screen+rerank serving path on the real chip.
 
-Phases measured at bench config (default G=100K, NL=8, BLOCK=128):
+Phases measured at bench config (default G=100K, NL=8, BLOCK=512 —
+the bench.py headline block, VERDICT r3 #5):
   screen     - engine.screen_scores_batch (minu screen + ADC screen scan)
   full       - engine.match_scores_batch_reranked (screen + top-k + rerank)
   topk+rerank = full - screen
 Plus standalone per-block kernel rates for the two screening kernels.
 
-Writes PROFILE_r03.json at the repo root.
+Writes PROFILE_r04.json at the repo root.
 Run alone - never concurrently with another TPU process.
 """
 import json
@@ -21,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 G = int(os.environ.get("PROF_GALLERY", "100000"))
 NL = int(os.environ.get("PROF_LATENTS", "8"))
-BLOCK = int(os.environ.get("PROF_BLOCK", "128"))
+BLOCK = int(os.environ.get("PROF_BLOCK", "512"))  # bench.py headline block
 M = int(os.environ.get("PROF_RERANK", "512"))
 RM, RT, LM, LT, D = 96, 448, 64, 448, 96
 CODEBOOK = "/root/reference/matching/codebook_EmbeddingSize_96_stride_16_subdim_6.dat"
@@ -168,7 +169,7 @@ def main():
         },
     }
     print(json.dumps(out, indent=1))
-    with open(os.path.join(REPO, "PROFILE_r03.json"), "w") as f:
+    with open(os.path.join(REPO, "PROFILE_r04.json"), "w") as f:
         json.dump(out, f, indent=1)
 
 
