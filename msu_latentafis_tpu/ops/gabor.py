@@ -112,14 +112,15 @@ def _gabor_apply(img: jnp.ndarray, bucket: jnp.ndarray, active: jnp.ndarray,
     return (enh - lo + 1e-4) / (hi - lo + 1e-4) * 255.0
 
 
-def gabor_filtering_pixel2(img, dir_map, fre_map, mask=None,
-                           block_size: int = 16, angle_inc: int = 3) -> np.ndarray:
-    """Pixelwise Gabor enhancement (filtering.py:136-216).
+def gabor_plan(dir_map, fre_map, shape: Tuple[int, int], mask=None,
+               block_size: int = 16, angle_inc: int = 3):
+    """Per-pixel (bucket, active) selection maps for :func:`_gabor_apply`.
 
-    ``dir_map``/``fre_map`` are block-resolution; the 15-px image border is
-    masked off and the result is min-max scaled to [0, 255].
-    """
-    h, w = img.shape
+    Separated from the apply so callers enhancing several images with the
+    SAME orientation/frequency maps (the latent pipeline Gabor-enhances
+    both the contrast and texture images) pay the cubic-spline upsampling
+    (~0.16 s host) once."""
+    h, w = shape
     if mask is None:
         mask = np.ones((h, w), np.uint8)
     mask = np.asarray(mask).copy()
@@ -144,12 +145,25 @@ def gabor_filtering_pixel2(img, dir_map, fre_map, mask=None,
     active = in_range & (mask > 0)
     f_safe = np.clip(f_ind, 0, fre_num - 1)
     bucket = a_ind * fre_num + f_safe
+    # bucket uploads as int16 (max 1799) to halve tunnel bytes
+    return (jnp.asarray(bucket, jnp.int16), jnp.asarray(active),
+            angle_inc, fre_num)
 
+
+def gabor_apply_planned(img, plan) -> jnp.ndarray:
+    bucket, active, angle_inc, fre_num = plan
     bank = get_gabor_filters(angle_inc, fre_num)
     bank_flat = bank.reshape(-1, KMAX * KMAX)
+    return _gabor_apply(jnp.asarray(img, jnp.float32), bucket, active,
+                        jnp.asarray(bank_flat))
 
-    # bucket uploads as int16 (max 1799) to halve tunnel bytes; the image
-    # may already be device-resident (the pipeline keeps it there)
-    return _gabor_apply(jnp.asarray(img, jnp.float32),
-                        jnp.asarray(bucket, jnp.int16),
-                        jnp.asarray(active), jnp.asarray(bank_flat))
+
+def gabor_filtering_pixel2(img, dir_map, fre_map, mask=None,
+                           block_size: int = 16, angle_inc: int = 3) -> jnp.ndarray:
+    """Pixelwise Gabor enhancement (filtering.py:136-216).
+
+    ``dir_map``/``fre_map`` are block-resolution; the 15-px image border is
+    masked off and the result is min-max scaled to [0, 255]."""
+    plan = gabor_plan(dir_map, fre_map, img.shape, mask=mask,
+                      block_size=block_size, angle_inc=angle_inc)
+    return gabor_apply_planned(img, plan)

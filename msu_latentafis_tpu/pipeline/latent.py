@@ -121,12 +121,10 @@ class LatentFeatureExtractor:
         minutiae_sets.append(mnt_aec)
         _lap("detect_3")
 
-        enh_contrast = gabor.gabor_filtering_pixel2(
-            contrast_img, dir_map + math.pi / 2, fre_map,
-            mask=np.ones((h, w), np.uint8))
-        enh_texture = gabor.gabor_filtering_pixel2(
-            texture_img, dir_map + math.pi / 2, fre_map,
-            mask=np.ones((h, w), np.uint8))
+        plan = gabor.gabor_plan(dir_map + math.pi / 2, fre_map, (h, w),
+                                mask=np.ones((h, w), np.uint8))
+        enh_contrast = gabor.gabor_apply_planned(contrast_img, plan)
+        enh_texture = gabor.gabor_apply_planned(texture_img, plan)
         _lap("gabor_x2", enh_contrast, enh_texture)
 
         mnt_contrast = self.models.detect_minutiae(1, enh_contrast, 0.25)
