@@ -116,10 +116,19 @@ def run_shape(engine_cls, cb, jnp, jax, RM, RT, LM, LT, RERANK, CODES,
                             quantize_tex_xy=False, minu_cap=LM, tex_cap=LT)
                 for _ in range(N_LATENTS)] for _ in range(n_rounds)]
 
+    # two-stage screen (BENCH_PRESCREEN=0 disables): truncated-latent
+    # prescreen over the full gallery, full screen on its top-k only.
+    # Dense-vs-serving top-24 parity for this exact config is recorded by
+    # scripts/rank_parity_100k.py.
+    PK = int(os.environ.get("BENCH_PRESCREEN", "256"))
+    PLT = int(os.environ.get("BENCH_PRESCREEN_LT", "64"))
+    PT = int(os.environ.get("BENCH_PRESCREEN_T", "1"))
+
     def run(batch):
         if RERANK:
             idx, exact, margin, thr = engine.match_scores_batch_reranked(
-                batch, gallery, m=RERANK)
+                batch, gallery, m=RERANK, prescreen_k=PK, prescreen_lt=PLT,
+                prescreen_t=PT)
             return float(exact[0, :4].sum())      # already host-side (sync)
         r = engine.match_scores_batch(batch, gallery)
         return float(np.asarray(r[0, :4]).sum())  # force execution+readback
@@ -175,7 +184,7 @@ def main():
     CODES = os.environ.get("BENCH_CODES", "0") == "1"
     MINU_INT8 = os.environ.get("BENCH_MINU_INT8", "0") == "1"
     TEX_INT8 = os.environ.get("BENCH_TEX_INT8", "1") == "1"
-    RERANK = int(os.environ.get("BENCH_RERANK", "512"))
+    RERANK = int(os.environ.get("BENCH_RERANK", "256"))
     WHICH = os.environ.get("BENCH_SHAPES", "both")
 
     common = (MatchEngine, cb, jnp, jax)

@@ -483,7 +483,8 @@ class MatchEngine:
 
     # ------------------------------------------------------------------
     def _screen_all(self, lat: dict, gal: dict, tau: float = 0.0,
-                    normalize: bool = False) -> jnp.ndarray:
+                    normalize: bool = False, lt_cap: int = 0,
+                    minu_t_cap: int = 0) -> jnp.ndarray:
         """Jitted screening pass: cheap MXU-only score [NL, G].
 
         With ``tau=0``/``normalize=False`` the result is a strict upper
@@ -492,7 +493,22 @@ class MatchEngine:
         one-to-one survivor sets, so summed row/col maxima bound each
         component. Serving runs the exact VPU-heavy path only on the top-M
         screened candidates (screen-then-rerank, docs/PERF.md).
+
+        ``lt_cap``/``minu_t_cap`` truncate the LATENT side (first lt_cap
+        texture minutiae, first minu_t_cap minutiae templates) for the
+        cheap first stage of two-stage screening: cost scales linearly in
+        both, and a partial-sum screen still ranks mates far above the
+        impostor noise floor (rank parity vs dense is recorded in
+        results/rank_parity_100k.json).
         """
+        if minu_t_cap or lt_cap:
+            lat = dict(lat)
+            if minu_t_cap and minu_t_cap < lat["minu_des"].shape[1]:
+                lat["minu_des"] = lat["minu_des"][:, :minu_t_cap]
+                lat["minu_n"] = lat["minu_n"][:, :minu_t_cap]
+            if lt_cap and lt_cap < lat["tex_des"].shape[1]:
+                lat["tex_des"] = lat["tex_des"][:, :lt_cap]
+                lat["tex_n"] = jnp.minimum(lat["tex_n"], lt_cap)
         B = self.block_size
         G = gal["minu_des"].shape[0]
         nb = G // B
@@ -582,31 +598,76 @@ class MatchEngine:
             self._latent_dict(latents), self._gallery_dict(gallery))
 
     # ------------------------------------------------------------------
-    def _rerank_fn(self, m_pad: int, tau: float, normalize: bool):
+    def _rerank_fn(self, m_pad: int, tau: float, normalize: bool,
+                   prescreen_k: int = 0, prescreen_lt: int = 0,
+                   prescreen_t: int = 0):
         """Cached jitted screen+rerank: ONE device dispatch for the whole
         batch (a Python per-latent loop would pay a tunnel round-trip per
         latent). Screen scan -> global top-k -> lax.map over latents, each
         gathering its own m_pad-row sub-gallery (whole-row gathers lower to
         large-slice DMAs, unlike the elementwise take_along_axis the layout
-        rules warn about) and running the exact dense path on it."""
-        key = ("rerank", m_pad, tau, normalize)
+        rules warn about) and running the exact dense path on it.
+
+        With ``prescreen_k`` the screen itself is TWO-STAGE: a truncated-
+        latent screen (prescreen_lt texture minutiae, prescreen_t minutiae
+        templates — linearly cheaper) scans the full gallery, an
+        approx_max_k keeps the top prescreen_k candidates, and only those
+        get the full screen before the exact rerank. The full screen over
+        100K was 78% of serving time (PROFILE_r04) with its kernel already
+        at its measured ceiling; truncation attacks the work itself."""
+        key = ("rerank", m_pad, tau, normalize, prescreen_k, prescreen_lt,
+               prescreen_t)
         if key not in self._fn_cache:
             @jax.jit
             def rerank(lat: dict, gal: dict):
-                screen = self._screen_all(lat, gal, tau=tau,
-                                          normalize=normalize)
-                G = screen.shape[1]
-                k = min(m_pad + 1, G)
-                topv, topi = jax.lax.top_k(screen, k)
+                G = gal["minu_des"].shape[0]
 
-                def one(args):
-                    lat_i, idx_i = args
+                def gather_sub(idx_i):
                     sub = {kk: jnp.take(v, idx_i, axis=0)
                            for kk, v in gal.items() if kk != "minu_scale"}
                     if "minu_scale" in gal:
                         sub["minu_scale"] = gal["minu_scale"]
+                    return sub
+
+                if prescreen_k and prescreen_k < G:
+                    k1 = max(self.block_size,
+                             (prescreen_k // self.block_size)
+                             * self.block_size)
+                    s1 = self._screen_all(lat, gal, tau=tau,
+                                          normalize=normalize,
+                                          lt_cap=prescreen_lt,
+                                          minu_t_cap=prescreen_t)
+                    if k1 <= m_pad:
+                        # single truncated screen straight into the exact
+                        # rerank (the exact pass re-orders everything it
+                        # keeps, so a second screen stage buys nothing
+                        # when every kept candidate is reranked anyway)
+                        k = min(m_pad + 1, G)
+                        topv, topi = jax.lax.top_k(s1, k)
+                    else:
+                        _, cand = jax.lax.approx_max_k(s1, k1)  # [NL, k1]
+
+                        def screen_one(args):
+                            lat_i, idx_i = args
+                            lat_1 = {kk: v[None] for kk, v in lat_i.items()}
+                            return self._screen_all(
+                                lat_1, gather_sub(idx_i), tau=tau,
+                                normalize=normalize)[0]        # [k1]
+
+                        s2 = jax.lax.map(screen_one, (dict(lat), cand))
+                        k = min(m_pad + 1, k1)
+                        topv, sel = jax.lax.top_k(s2, k)
+                        topi = jnp.take_along_axis(cand, sel[:, :k], axis=1)
+                else:
+                    screen = self._screen_all(lat, gal, tau=tau,
+                                              normalize=normalize)
+                    k = min(m_pad + 1, G)
+                    topv, topi = jax.lax.top_k(screen, k)
+
+                def one(args):
+                    lat_i, idx_i = args
                     lat_1 = {kk: v[None] for kk, v in lat_i.items()}
-                    return self._match_all(lat_1, sub)[0]
+                    return self._match_all(lat_1, gather_sub(idx_i))[0]
 
                 lat_sliced = {kk: v for kk, v in lat.items()}
                 exact = jax.lax.map(one, (lat_sliced, topi[:, :m_pad]))
@@ -617,10 +678,18 @@ class MatchEngine:
     def match_scores_batch_reranked(
             self, latents: Sequence[PackedLatent], gallery: "DeviceGallery",
             m: int = 512, tau: float = 0.0, normalize: bool = False,
+            prescreen_k: int = 0, prescreen_lt: int = 0,
+            prescreen_t: int = 0,
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Screen-then-rerank serving path.
 
-        1. screen every (latent, gallery) pair with the MXU-only kernels;
+        1. screen every (latent, gallery) pair with the MXU-only kernels
+           (optionally two-stage: ``prescreen_k``/``prescreen_lt``/
+           ``prescreen_t`` run a truncated-latent screen over the full
+           gallery first and the full screen only on its top prescreen_k —
+           the formal upper-bound property does NOT survive truncation;
+           the recorded dense-vs-serving top-24 parity at 100K is the
+           operative evidence for this mode);
         2. take the top-``m`` screened candidates per latent;
         3. run the exact dense path (graph filters included) on just those.
 
@@ -657,8 +726,9 @@ class MatchEngine:
         m_pad = ((m_eff + B - 1) // B) * B
         m_pad = min(m_pad, G)
 
-        topi, topv, exact = self._rerank_fn(m_pad, tau, normalize)(lat_d,
-                                                                   gal_d)
+        topi, topv, exact = self._rerank_fn(
+            m_pad, tau, normalize, prescreen_k=prescreen_k,
+            prescreen_lt=prescreen_lt, prescreen_t=prescreen_t)(lat_d, gal_d)
         topi_np = np.asarray(topi)
         exact = np.asarray(exact)
         # max screen value OUTSIDE the rerank set (certification threshold)

@@ -218,7 +218,16 @@ def plant_gallery_entries(gallery, engine, packed_mates, positions):
     PackedGallery of len(positions) entries; conversion to the engine's
     device layout reuses engine.load_gallery."""
     import dataclasses
+    import functools
+    import jax
     import jax.numpy as jnp
+
+    # donated scatter: .at[].set() in eager mode copies the (multi-GB)
+    # gallery array — donation lets XLA update the buffer in place
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def _scatter(big, sm, pos):
+        return big.at[pos].set(sm)
+
     small = engine.load_gallery(packed_mates)
     n = len(positions)
     pos = jnp.asarray(np.asarray(positions, np.int32))
@@ -247,7 +256,7 @@ def plant_gallery_entries(gallery, engine, packed_mates, positions):
         pads = [(0, 0)] + [(0, b - s) for b, s in zip(big.shape[1:],
                                                       sm.shape[1:])]
         sm = jnp.pad(sm, pads)
-        updates[name] = big.at[pos].set(sm)
+        updates[name] = _scatter(big, sm, pos)
     return dataclasses.replace(gallery, **updates)
 
 

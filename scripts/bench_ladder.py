@@ -65,10 +65,13 @@ def bench_spec100k(results):
     # the top-m), same mode as bench.py's headline; 0 = dense exact path.
     RERANK = int(os.environ.get("SPEC_RERANK", "512"))
 
+    PK = int(os.environ.get("SPEC_PRESCREEN", "256"))
+
     def run(batch):
         if RERANK:
             idx, exact, margin, thr = engine.match_scores_batch_reranked(
-                batch, gal, m=RERANK)
+                batch, gal, m=RERANK, prescreen_k=PK, prescreen_lt=128,
+                prescreen_t=1)
             return float(exact[0, :4].sum())      # already host-side
         r = engine.match_scores_batch(batch, gal)
         return _sync(r[:, :4])
@@ -114,7 +117,8 @@ def bench_spec500k(results):
 
     def run(batch):
         idx, exact, margin, thr = engine.match_scores_batch_reranked(
-            batch, gal, m=512)
+            batch, gal, m=256, prescreen_k=256, prescreen_lt=128,
+            prescreen_t=1)
         return float(exact[0, :4].sum())
 
     run(lats[:4])

@@ -87,6 +87,8 @@ def main():
         int8 = xdt == jnp.int8
 
         def kernel_bf16(xt_ref, dect_ref, best_ref):
+            # out is [E, C*Lt] per block — a row write per entry avoids the
+            # lane-crossing [1, C*Lt] -> (C, Lt) reshape Mosaic rejects
             xt = xt_ref[...]                       # [D+2, C*Lt]
             for e in range(E_):
                 d = dect_ref[e]                    # [Rt, D+2]
@@ -94,8 +96,7 @@ def main():
                     d = d.astype(xt.dtype)
                 dots = jnp.dot(d, xt,
                                preferred_element_type=jnp.float32)
-                best_ref[:, e, :] = jnp.max(dots, axis=0, keepdims=True) \
-                    .reshape(C_, Lt).astype(best_ref.dtype)
+                best_ref[e:e + 1, :] = jnp.max(dots, axis=0, keepdims=True)
 
         def kernel_int8(xt_ref, dect_ref, corr_ref, best_ref):
             # dots in i32 (x/sx units); per-row correction (-rsq/2/sx and
@@ -106,8 +107,7 @@ def main():
                 dots = jnp.dot(dect_ref[e], xt,
                                preferred_element_type=jnp.int32)
                 dots = dots + corr_ref[e]          # [Rt, 1] -> [Rt, M]
-                best_ref[:, e, :] = jnp.max(dots, axis=0, keepdims=True) \
-                    .reshape(C_, Lt).astype(best_ref.dtype)
+                best_ref[e:e + 1, :] = jnp.max(dots, axis=0, keepdims=True)
 
         @jax.jit
         def run(x_, dect_, rol_sq_, rol_va_, lat_sq_, lat_va_):
@@ -129,12 +129,13 @@ def main():
                         pl.BlockSpec((E_, Rt, D), lambda b, c: (b, 0, 0)),
                         pl.BlockSpec((E_, Rt, 1), lambda b, c: (b, 0, 0)),
                     ],
-                    out_specs=pl.BlockSpec((C_, E_, Lt),
-                                           lambda b, c: (c, b, 0)),
-                    out_shape=jax.ShapeDtypeStruct((NL, B, Lt), jnp.int32),
+                    out_specs=pl.BlockSpec((E_, C_ * Lt),
+                                           lambda b, c: (b, c)),
+                    out_shape=jax.ShapeDtypeStruct((B, M), jnp.int32),
                     compiler_params=pltpu.CompilerParams(
                         vmem_limit_bytes=64 * 1024 * 1024),
                 )(xt, dect_t, corr)
+                raw = jnp.swapaxes(raw.reshape(B, NL, Lt), 0, 1)  # [NL,B,Lt]
                 best = 2.0 * raw.astype(jnp.float32) * sx \
                     + (6.0 - lat_sq_)[:, None, :]
             else:
@@ -157,12 +158,13 @@ def main():
                         pl.BlockSpec((D + 2, C_ * Lt), lambda b, c: (0, c)),
                         pl.BlockSpec((E_, Rt, D + 2), lambda b, c: (b, 0, 0)),
                     ],
-                    out_specs=pl.BlockSpec((C_, E_, Lt),
-                                           lambda b, c: (c, b, 0)),
-                    out_shape=jax.ShapeDtypeStruct((NL, B, Lt), jnp.float32),
+                    out_specs=pl.BlockSpec((E_, C_ * Lt),
+                                           lambda b, c: (b, c)),
+                    out_shape=jax.ShapeDtypeStruct((B, M), jnp.float32),
                     compiler_params=pltpu.CompilerParams(
                         vmem_limit_bytes=64 * 1024 * 1024),
                 )(xt, dect_t)
+                raw = jnp.swapaxes(raw.reshape(B, NL, Lt), 0, 1)  # [NL,B,Lt]
                 best = 2.0 * raw + (6.0 - lat_sq_)[:, None, :]
             contrib = jnp.maximum(best, 0.0) * lat_va_[:, None, :]
             return jnp.sum(contrib, axis=2)

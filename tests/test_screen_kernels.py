@@ -184,3 +184,33 @@ def test_adc_screen_codes_matches_decoded(rng):
         jnp.asarray(codes_t), jnp.asarray(tdec), jnp.asarray(rsq),
         jnp.asarray(rval), n_clusters=16, tau=1.0, interpret=True))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_two_stage_prescreen_rerank(rng):
+    """The two-stage serving path (truncated-latent prescreen -> full
+    screen on top-k -> exact rerank) must reproduce the dense ranking for
+    a planted mate, and approx_max_k's candidate set must contain it."""
+    from msu_latentafis_tpu.matcher.engine import MatchEngine
+    from msu_latentafis_tpu.templates.packing import pack_gallery, pack_latent
+    from msu_latentafis_tpu.utils.synthetic import (make_latent_template,
+                                                    make_rolled_template,
+                                                    random_codebook)
+    cb = random_codebook(rng)
+    engine = MatchEngine(cb, block_size=4)
+    lat_t = make_latent_template(rng, n_minu=12, n_tex=30)
+    gallery = [make_rolled_template(rng, n_minu=20, n_tex=40)
+               for _ in range(24)]
+    gallery[13] = make_rolled_template(rng, n_minu=20, n_tex=40,
+                                       mated_latent=lat_t, codebook=cb)
+    pg = engine.load_gallery(pack_gallery(gallery, cb, minu_cap=32,
+                                          tex_cap=48))
+    lat = pack_latent(lat_t, quantize_tex_xy=False, minu_cap=32, tex_cap=48)
+
+    dense = np.asarray(engine.match_scores(lat, pg))[:24]
+    idx, exact, margin, thr = engine.match_scores_batch_reranked(
+        [lat], pg, m=8, prescreen_k=8, prescreen_lt=16, prescreen_t=1)
+    srt = np.argsort(-exact[0], kind="stable")
+    top = np.asarray(idx[0])[srt]
+    assert top[0] == 13, (top[:5], dense[13], dense.max())
+    np.testing.assert_allclose(exact[0][srt[0]], dense[13], rtol=1e-4,
+                               atol=1e-4)
