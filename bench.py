@@ -212,8 +212,8 @@ def main():
         print(json.dumps({
             "metric": f"latents matched/s vs {G}-template PQ gallery at "
                       f"REFERENCE-CAP shapes Lm=Rm=128, Lt=Rt=1000 "
-                      f"(matcher.h:31-32) on 1 chip; {mode}; top-24 "
-                      f"serving-vs-dense parity: results/rank_parity_100k"
+                      f"(matcher.h:31-32) on 1 chip; {mode}; serving-vs-"
+                      f"dense parity: results/rank_parity_100k{{,_cap}}"
                       f".json{extra}; baseline: {base_src}",
             "value": round(rcap, 4),
             "unit": "latents/s",

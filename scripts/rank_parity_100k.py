@@ -155,7 +155,9 @@ def main():
                  "vectors match to noise level")}
     print(json.dumps(results["summary"]))
 
-    out = os.path.join(REPO, "results", "rank_parity_100k.json")
+    out = os.path.join(REPO, "results",
+                       "rank_parity_100k_cap.json" if cap
+                       else "rank_parity_100k.json")
     if args.record:
         os.makedirs(os.path.dirname(out), exist_ok=True)
         with open(out, "w") as f:
