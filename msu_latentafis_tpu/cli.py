@@ -164,8 +164,11 @@ def cmd_match(args) -> int:
             # serving mode: MXU-only screen over all pairs, exact scores
             # for the top-m; the rank table is identical wherever the
             # certification threshold is cleared (engine docstring)
-            result = engine.one_to_list_reranked(packed, gallery,
-                                                 m=args.rerank)
+            result = engine.one_to_list_reranked(
+                packed, gallery, m=args.rerank,
+                prescreen_k=args.prescreen,
+                prescreen_lt=args.prescreen_lt,
+                prescreen_t=args.prescreen_t)
         else:
             result = engine.one_to_list(packed, gallery)
         dt = (time.perf_counter() - t0) * 1000
@@ -230,6 +233,15 @@ def main(argv: Optional[List[str]] = None) -> int:
                     help="screen-then-rerank serving mode: exact scores "
                          "for the top-M screened candidates only "
                          "(0 = dense exact, the default)")
+    pm.add_argument("--prescreen", type=int, default=0, metavar="K",
+                    help="truncated-screen serving (with --rerank): screen "
+                         "with --prescreen-lt texture minutiae / "
+                         "--prescreen-t minutiae templates, keep top K "
+                         "(<= M reranks them directly; see "
+                         "results/rank_parity_100k.json for the recorded "
+                         "dense-parity evidence)")
+    pm.add_argument("--prescreen-lt", type=int, default=64)
+    pm.add_argument("--prescreen-t", type=int, default=1)
     pm.set_defaults(fn=cmd_match)
 
     args = p.parse_args(argv)
