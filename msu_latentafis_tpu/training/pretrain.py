@@ -70,14 +70,29 @@ def _pool_cache(name: str, builder):
     return out
 
 
+def _maybe_resume(state, resume_from):
+    """Continue training from a saved checkpoint's params/batch_stats
+    (optimizer state restarts — acceptable for these small nets)."""
+    if not resume_from or not os.path.isdir(resume_from):
+        return state
+    from ..pipeline.models_bundle import _try_restore
+    v = _try_restore(resume_from, {"params": state.params,
+                                   "batch_stats": state.batch_stats})
+    print(f"resumed weights from {resume_from}", flush=True)
+    return state.replace(params=v["params"],
+                         batch_stats=v.get("batch_stats", state.batch_stats))
+
+
 def pretrain_minutiae(steps: int = 300, batch: int = 16, size: int = 128,
                       nf: int = 64, seed: int = 0, log_every: int = 50,
-                      pool: int = 256, model: Optional[object] = None):
+                      pool: int = 256, model: Optional[object] = None,
+                      resume_from: str = ""):
     rng = np.random.default_rng(seed)
     if model is None:
         model = MinutiaeAEC(nf=nf)
     key = jax.random.PRNGKey(seed)
     state = create_train_state(model, key, jnp.zeros((batch, size, size, 1)))
+    state = _maybe_resume(state, resume_from)
     step_fn = jax.jit(l2_train_step)
     print("generating minutiae training pool...", flush=True)
 
@@ -114,11 +129,12 @@ def pretrain_minutiae(steps: int = 300, batch: int = 16, size: int = 128,
 
 def pretrain_enhancement(steps: int = 300, batch: int = 16, size: int = 128,
                          seed: int = 0, log_every: int = 50,
-                         pool: int = 384):
+                         pool: int = 384, resume_from: str = ""):
     rng = np.random.default_rng(seed)
     model = EnhancementAEC()
     key = jax.random.PRNGKey(seed)
     state = create_train_state(model, key, jnp.zeros((batch, size, size, 1)))
+    state = _maybe_resume(state, resume_from)
     step_fn = jax.jit(l2_train_step)
     print("generating enhancement training pool...", flush=True)
 
@@ -232,23 +248,30 @@ def main(argv=None):
     p.add_argument("--which", default="all",
                    choices=["all", "minutiae", "minutiae64", "enhancement",
                             "descriptor", "compnet"])
+    p.add_argument("--resume", action="store_true",
+                   help="continue minutiae/enhancement from the checkpoints "
+                        "already in --out")
     args = p.parse_args(argv)
     os.makedirs(args.out, exist_ok=True)
     from ..utils.cache import enable_compilation_cache
     enable_compilation_cache()
 
     t0 = time.time()
+    res = lambda name: (os.path.join(args.out, name) if args.resume else "")
     if args.which in ("all", "minutiae"):
-        _, v = pretrain_minutiae(steps=args.steps)
+        _, v = pretrain_minutiae(steps=args.steps,
+                                 resume_from=res("minutiae"))
         save_checkpoint(os.path.join(args.out, "minutiae"), v)
         save_checkpoint(os.path.join(args.out, "minutiae_stft"), v)
     if args.which in ("all", "minutiae64"):
         from ..models.minutiae_net import MinutiaeAEC64
         _, v = pretrain_minutiae(steps=args.steps, size=64,
-                                 model=MinutiaeAEC64())
+                                 model=MinutiaeAEC64(),
+                                 resume_from=res("minutiae64"))
         save_checkpoint(os.path.join(args.out, "minutiae64"), v)
     if args.which in ("all", "enhancement"):
-        _, v = pretrain_enhancement(steps=args.steps)
+        _, v = pretrain_enhancement(steps=args.steps,
+                                    resume_from=res("enhancement"))
         save_checkpoint(os.path.join(args.out, "enhancement"), v)
     if args.which in ("all", "descriptor"):
         # steps=0 is pool-prebuild-only mode (PRETRAIN_POOL_DIR caching):

@@ -199,13 +199,30 @@ def device_synthetic_gallery(engine, G: int, n_minu: int = 96,
 
     keys = jax.random.split(jax.random.PRNGKey(seed), nchunks)
 
-    @jax.jit
-    def gen_all(keys):
-        out = jax.lax.map(gen_chunk, keys)
-        return {k: v.reshape((Gpad,) + v.shape[2:]) for k, v in out.items()}
+    # ONE FIELD PER PROGRAM, biggest first: the AOT compiler charges a
+    # generation program ~2x its outputs (scan accumulation + result;
+    # measured 21.3 GB for an 11.25 GB gallery, and buffer donation is NOT
+    # honored through the remote-compile path), so emitting all fields
+    # from one program caps single-chip galleries at ~200K. Per-field
+    # programs bound the peak at (already-generated fields) + 2x(current
+    # field); XLA dead-code-eliminates the untouched outputs of gen_chunk
+    # in each specialization.
+    import functools as _ft
 
-    g = gen_all(keys)
-    jax.block_until_ready(g["minu_des"])
+    shapes = jax.eval_shape(gen_chunk, keys[0])
+    order = sorted(shapes, key=lambda k: -(
+        np.prod(shapes[k].shape) * shapes[k].dtype.itemsize))
+
+    @_ft.partial(jax.jit, static_argnames=("field",))
+    def gen_field(keys, field):
+        return jax.lax.map(
+            lambda k: gen_chunk(k)[field], keys).reshape(
+                (Gpad,) + shapes[field].shape[1:])
+
+    g = {}
+    for k in order:
+        g[k] = gen_field(keys, field=k)
+        jax.block_until_ready(g[k])
     minu_scale = (jnp.full((1,), MSCALE, jnp.float32)
                   if getattr(engine, "minu_int8", False) else None)
     return DeviceGallery(names=[str(i) for i in range(G)], n_real=G,

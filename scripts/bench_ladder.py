@@ -103,13 +103,15 @@ def bench_spec500k(results):
     from msu_latentafis_tpu.utils.synthetic import (device_synthetic_gallery,
                                                     make_latent_template)
 
-    G = int(os.environ.get("SPEC500K_GALLERY", "500000"))
+    G = int(os.environ.get("SPEC500K_GALLERY", "400000"))
     RM, RT, LM, LT = 96, 448, 64, 448
     cb = read_codebook(CODEBOOK)
     engine = MatchEngine(cb, block_size=512, compute_dtype=jnp.bfloat16,
                          codes_resident=True, minu_int8=True)
+    # chunk=1024 bounds generation transients (the decode scratch at
+    # chunk=4096 tipped a ~14.1 GB-static gallery over the 15.75 GB HBM)
     gal = device_synthetic_gallery(engine, G, n_minu=RM, n_tex=RT,
-                                   codes_resident=True, seed=17)
+                                   codes_resident=True, seed=17, chunk=1024)
     rng = np.random.default_rng(19)
     lats = [pack_latent(make_latent_template(rng, n_minu=LM, n_tex=LT),
                         quantize_tex_xy=False, minu_cap=LM, tex_cap=LT)
@@ -135,7 +137,14 @@ def bench_spec500k(results):
         "metric": f"serving latents/s vs {G} codes-resident gallery "
                   f"(Rm={RM},Rt={RT}; u8 PQ codes in HBM, VMEM decode)",
         "latents_per_s": round(4 / dt, 4), "seconds": round(dt, 2),
-        "hbm": hbm}
+        "hbm": hbm,
+        "capacity_note": (
+            "500K OOMs on the 15.75 GB chip (static ~14.1 GB): the "
+            "full template set is "
+            "~28 KB/entry (6.1 GB minutiae int8 descriptors at the "
+            "lane-padded [G,96,128] layout + 3.6 GB codes + 4.3 GB "
+            "f32 coords/norms), not the 16 B/minutia codes-only figure "
+            "behind the earlier ~800K claim")}
     print(json.dumps({"spec500k_codes": results["spec500k_codes"]}),
           flush=True)
 
