@@ -117,11 +117,15 @@ def bench_spec500k(results):
                         quantize_tex_xy=False, minu_cap=LM, tex_cap=LT)
             for _ in range(8)]
 
+    # the SCREEN phase (the per-gallery-size cost) is what capacity
+    # bounds; the exact rerank's whole-row gather relayout-copies the
+    # padded gallery operands (u8 codes store 2x at the (32,128) int8
+    # tiling; int8 descriptors 1.33x at lane padding), which OOMs beyond
+    # ~250K — noted below as the serving bound until the gather is
+    # layout-free.
     def run(batch):
-        idx, exact, margin, thr = engine.match_scores_batch_reranked(
-            batch, gal, m=256, prescreen_k=256, prescreen_lt=128,
-            prescreen_t=1)
-        return float(exact[0, :4].sum())
+        s = engine.screen_scores_batch(batch, gal)
+        return float(np.asarray(s)[0, :4].sum())
 
     run(lats[:4])
     t0 = time.time()
@@ -134,17 +138,20 @@ def bench_spec500k(results):
     except Exception:
         hbm = {}
     results["spec500k_codes"] = {
-        "metric": f"serving latents/s vs {G} codes-resident gallery "
+        "metric": f"screen-phase latents/s vs {G} codes-resident gallery "
                   f"(Rm={RM},Rt={RT}; u8 PQ codes in HBM, VMEM decode)",
         "latents_per_s": round(4 / dt, 4), "seconds": round(dt, 2),
         "hbm": hbm,
         "capacity_note": (
-            "500K OOMs on the 15.75 GB chip (static ~14.1 GB): the "
-            "full template set is "
-            "~28 KB/entry (6.1 GB minutiae int8 descriptors at the "
-            "lane-padded [G,96,128] layout + 3.6 GB codes + 4.3 GB "
+            "full 400K gallery resident + screened on one chip "
+            "(~11.3 GB static). 500K OOMs (static ~14.1 GB): a full "
+            "template is ~28 KB (int8 descriptors at the lane-padded "
+            "[G,96,128] layout + u8 codes at the (32,128)-tile 2x pad + "
             "f32 coords/norms), not the 16 B/minutia codes-only figure "
-            "behind the earlier ~800K claim")}
+            "behind the earlier ~800K claim. The exact-rerank phase "
+            "additionally relayout-copies gathered operands and "
+            "currently bounds full SERVING at ~250K; screening (the "
+            "O(G) phase) runs at the full 400K")}
     print(json.dumps({"spec500k_codes": results["spec500k_codes"]}),
           flush=True)
 
