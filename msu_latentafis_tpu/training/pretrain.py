@@ -170,11 +170,13 @@ def pretrain_enhancement(steps: int = 300, batch: int = 16, size: int = 128,
     return model, _variables(state)
 
 
-def pretrain_descriptor(steps: int = 200, seed: int = 0, log_every: int = 50):
+def pretrain_descriptor(steps: int = 200, seed: int = 0, log_every: int = 50,
+                        resume_from: str = ""):
     rng = np.random.default_rng(seed)
     model = DescriptorNet()
     key = jax.random.PRNGKey(seed)
     state = create_train_state(model, key, jnp.zeros((8, 96, 96, 1)))
+    state = _maybe_resume(state, resume_from)
     step_fn = jax.jit(triplet_train_step)
     print("generating descriptor training pool...", flush=True)
 
@@ -278,7 +280,8 @@ def main(argv=None):
         # it returns untrained random-init weights, so saving would
         # clobber previously-trained descriptor checkpoints
         _, v = pretrain_descriptor(
-            steps=max(100, args.steps // 2) if args.steps else 0)
+            steps=max(100, args.steps // 2) if args.steps else 0,
+            resume_from=res("descriptor_patch2"))
         if args.steps:
             for pt in (2, 8, 11):
                 save_checkpoint(os.path.join(args.out,
