@@ -117,7 +117,7 @@ def pretrain_minutiae(steps: int = 300, batch: int = 16, size: int = 128,
     # reference thresholds bite as intended. Decode's sub-bin
     # interpolation is ratio-based (scale-invariant), and confidences
     # only order/filter.
-    TARGET_GAIN = 3.0
+    TARGET_GAIN = float(os.environ.get("PRETRAIN_TARGET_GAIN", "3.0"))
     for i in range(steps):
         idx = rng.integers(0, pool, batch)
         state, loss = step_fn(state, jnp.asarray(xs_all[idx]),
