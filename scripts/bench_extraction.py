@@ -34,7 +34,15 @@ def main():
     from msu_latentafis_tpu.training.synthetic_data import render_ridge_image
 
     rng = np.random.default_rng(0)
+    # trained stand-ins (when committed): populated minutiae sets make the
+    # descriptor stage carry its real workload; a random-init bundle
+    # detects nothing and understates that stage
     bundle = ModelBundle.initialize()
+    ckpt = os.path.join(REPO, "checkpoints", "standin")
+    if os.path.isdir(ckpt):
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from run_sd27 import load_bundle
+        bundle = load_bundle(ckpt)
     results = {}
 
     imgs = [render_ridge_image(rng, 768, 800)[0] for _ in range(3)]
