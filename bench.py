@@ -118,8 +118,9 @@ def run_shape(engine_cls, cb, jnp, jax, RM, RT, LM, LT, RERANK, CODES,
 
     # two-stage screen (BENCH_PRESCREEN=0 disables): truncated-latent
     # prescreen over the full gallery, full screen on its top-k only.
-    # Dense-vs-serving top-24 parity for this exact config is recorded by
-    # scripts/rank_parity_100k.py.
+    # Recorded evidence for this config is mate-retrieval (rank-1)
+    # agreement with dense (scripts/rank_parity_100k.py); top-24 set/order
+    # parity does NOT hold under truncated prescreen on iid galleries.
     PK = int(os.environ.get("BENCH_PRESCREEN", "256"))
     PLT = int(os.environ.get("BENCH_PRESCREEN_LT", "64"))
     PT = int(os.environ.get("BENCH_PRESCREEN_T", "1"))
@@ -213,8 +214,8 @@ def main():
             "metric": f"latents matched/s vs {G}-template PQ gallery at "
                       f"REFERENCE-CAP shapes Lm=Rm=128, Lt=Rt=1000 "
                       f"(matcher.h:31-32) on 1 chip; {mode}; serving-vs-"
-                      f"dense parity: results/rank_parity_100k{{,_cap}}"
-                      f".json{extra}; baseline: {base_src}",
+                      f"dense mate-rank-1 agreement: results/rank_parity_"
+                      f"100k{{,_cap}}.json{extra}; baseline: {base_src}",
             "value": round(rcap, 4),
             "unit": "latents/s",
             "vs_baseline": round(rcap / base, 2) if base == base else

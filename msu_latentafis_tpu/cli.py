@@ -234,17 +234,27 @@ def main(argv: Optional[List[str]] = None) -> int:
                          "for the top-M screened candidates only "
                          "(0 = dense exact, the default)")
     pm.add_argument("--prescreen", type=int, default=0, metavar="K",
-                    help="truncated-screen serving (with --rerank): screen "
-                         "with --prescreen-lt texture minutiae / "
+                    help="truncated-screen serving (requires --rerank): "
+                         "screen with --prescreen-lt texture minutiae / "
                          "--prescreen-t minutiae templates, keep top K "
-                         "(<= M reranks them directly; see "
-                         "results/rank_parity_100k.json for the recorded "
-                         "dense-parity evidence)")
-    pm.add_argument("--prescreen-lt", type=int, default=64)
-    pm.add_argument("--prescreen-t", type=int, default=1)
+                         "(<= M reranks them directly). Recorded evidence "
+                         "is mate-retrieval (rank-1) agreement with dense "
+                         "(results/rank_parity_100k{,_cap}.json); top-24 "
+                         "set/order parity does NOT hold under truncation "
+                         "— use --rerank without --prescreen (or dense) "
+                         "for top-24-fidelity claims")
+    pm.add_argument("--prescreen-lt", type=int, default=64,
+                    help="latent texture minutiae used by the truncated "
+                         "prescreen stage (default 64)")
+    pm.add_argument("--prescreen-t", type=int, default=1,
+                    help="latent minutiae templates used by the truncated "
+                         "prescreen stage (default 1)")
     pm.set_defaults(fn=cmd_match)
 
     args = p.parse_args(argv)
+    if args.cmd == "match" and args.prescreen and not args.rerank:
+        p.error("--prescreen requires --rerank > 0 (it is a first stage "
+                "of screen-then-rerank serving)")
     return args.fn(args)
 
 

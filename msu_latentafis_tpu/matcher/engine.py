@@ -498,8 +498,11 @@ class MatchEngine:
         texture minutiae, first minu_t_cap minutiae templates) for the
         cheap first stage of two-stage screening: cost scales linearly in
         both, and a partial-sum screen still ranks mates far above the
-        impostor noise floor (rank parity vs dense is recorded in
-        results/rank_parity_100k.json).
+        impostor noise floor. Recorded evidence for truncation is
+        MATE-RETRIEVAL (rank-1) agreement with dense, NOT top-24 set/order
+        parity — on iid-impostor galleries the recorded top-24 set overlap
+        is 1/24 (results/rank_parity_100k{,_cap}.json); use the
+        untruncated rerank or dense path for top-24-fidelity claims.
         """
         if minu_t_cap or lt_cap:
             lat = dict(lat)
@@ -697,9 +700,12 @@ class MatchEngine:
         per latent the reranked candidate indices, their exact scores, the
         top-24 containment margin (exact_24th - max screen outside the
         top-m) and the certified score threshold (= that outside max).
+        With ``prescreen_k`` active the screen is truncated, so neither
+        quantity bounds any excluded entry's exact score — both are
+        returned as NaN in that mode.
 
         Certification semantics with the default bound screen (tau=0,
-        normalize=False; screen >= exact everywhere):
+        normalize=False, prescreen_k=0; screen >= exact everywhere):
         - every excluded entry's exact score is provably <= ``threshold``;
         - margin >= 0 additionally proves the ENTIRE exact top-24 survived
           truncation.
@@ -731,7 +737,14 @@ class MatchEngine:
             prescreen_lt=prescreen_lt, prescreen_t=prescreen_t)(lat_d, gal_d)
         topi_np = np.asarray(topi)
         exact = np.asarray(exact)
-        # max screen value OUTSIDE the rerank set (certification threshold)
+        if prescreen_k:
+            # truncated screen: the outside-max no longer upper-bounds any
+            # excluded entry's exact score, so certification quantities are
+            # undefined (ADVICE r4) — report NaN rather than a false bound.
+            nan = np.full((NL,), np.nan, np.float32)
+            return topi_np[:, :m_pad], exact, nan, nan
+        # max screen value OUTSIDE the rerank set (certification threshold;
+        # only meaningful for the untruncated bound screen, see docstring)
         outside = (np.asarray(topv[:, m_pad]) if m_pad < G
                    else np.full((NL,), -np.inf, np.float32))
         order = np.argsort(-exact, axis=1, kind="stable")

@@ -5,16 +5,19 @@ kernel by the local (orientation, frequency) bucket and convolve at that
 pixel (/root/reference/extraction/filtering.py:136-216 — a per-pixel Python
 loop fanned out over multiprocessing with thread_num=1).
 
-TPU formulation: all kernels live in a dense bank [n_ori, n_freq, 19, 19]
-(variable-size skimage kernels zero-embedded into the max footprint — the
-sums are unchanged). The per-pixel kernel choice becomes, for each of the
-361 taps (dy, dx), one gather of bank[:, :, dy, dx] by the per-pixel bucket
-index plus a shifted multiply-accumulate:
+TPU formulation: all kernels live in a dense bank [n_ori * n_freq, 361]
+(variable-size kernels zero-embedded into the 19x19 max footprint — the
+sums are unchanged). The per-pixel kernel choice becomes an MXU matmul:
+a bf16 one-hot of the per-pixel bucket index, [H*W, 1800], times the bank
+gathers each pixel's 361 taps, which are then fused multiply-reduced in
+f32 against im2col patches (conv_general_dilated_patches), [H*W, 361]:
 
-    enh = sum_{dy,dx} shift(img, dy, dx) * bank[a(i,j), f(i,j), dy, dx]
+    enh[p] = sum_t onehot(bucket[p]) @ bank[:, t] * patches[p, t]
 
-i.e. a 361-step fori_loop of fused [H, W] VPU ops — no Python loop, no
-materialized [H, W, 19, 19] tensor.
+Peak HBM transient: the one-hot is H*W x 1800 bf16 (~2.2 GB at 768x800)
+plus H*W x 361 f32 patches (~0.9 GB) — this, not FLOPs, bounds the usable
+image area on the 15.75 GB chip; `max_size` in the callers keeps images
+within it.
 """
 from __future__ import annotations
 

@@ -176,10 +176,21 @@ class ModelBundle:
         pass is one dispatch per 256-minutiae chunk.
         """
         import math as _math
-        from ..ops.patches import ORI_NUM, device_patch_grids
+        from ..ops.patches import (ORI_NUM, _PATCH_LOCATIONS,
+                                   device_patch_grids)
         n = len(minutiae)
         if n == 0:
             return [[] for _ in range(stack.n_images)]
+        # device_patch_grids only supports patch types whose crop window is
+        # already 96x96 (no resize). Fall back to the host oracle path for
+        # bundles configured with resize-needing types (ADVICE r4).
+        if any(_PATCH_LOCATIONS[pt][0][1] - _PATCH_LOCATIONS[pt][0][0] != 96
+               or _PATCH_LOCATIONS[pt][1][1] - _PATCH_LOCATIONS[pt][1][0] != 96
+               for pt in self.patch_types):
+            imgs = np.asarray(stack.flat).reshape(stack.h, stack.w,
+                                                  stack.n_images)
+            return [self.describe_host(imgs[..., i], minutiae)
+                    for i in range(stack.n_images)]
         m = np.asarray(minutiae)
         ori = (-m[:, 2]) % (2 * _math.pi)
         ori_ind = np.round(ori / (2 * _math.pi) * ORI_NUM).astype(np.int32) % ORI_NUM
