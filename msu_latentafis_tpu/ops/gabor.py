@@ -161,6 +161,61 @@ def gabor_apply_planned(img, plan) -> jnp.ndarray:
                         jnp.asarray(bank_flat))
 
 
+def gabor_plan_host(angle: np.ndarray, frequency: np.ndarray,
+                    shape: Tuple[int, int], mask=None, angle_inc: int = 3,
+                    fre_num: int = 30):
+    """NumPy twin of :func:`gabor_plan` at block_size=1 (full-resolution
+    angle/frequency maps) for host-side training-data generation — the
+    descriptor stand-ins must train on the SAME Gabor-enhanced domain the
+    latent pipeline produces at match time (latent descriptor images 3/4
+    and the selected minutiae templates {26, 2, 11} are all Gabor-enhanced;
+    matcher.cpp:380, extraction_latent.py:135-148)."""
+    h, w = shape
+    if mask is None:
+        mask = np.ones((h, w), np.uint8)
+    mask = np.asarray(mask).copy()
+    mask[:15, :] = 0
+    mask[:, :15] = 0
+    mask[h - 15:, :] = 0
+    mask[:, w - 15:] = 0
+    angle = np.broadcast_to(np.asarray(angle), (h, w))
+    frequency = np.broadcast_to(np.asarray(frequency), (h, w))
+    deg = (angle / math.pi * 180).astype(int)
+    deg = np.where(deg < 0, deg + 180, deg)
+    deg = np.where(deg == 180, 0, deg)
+    a_ind = deg // angle_inc
+    f_ind = np.around(frequency * 100).astype(int)
+    in_range = (f_ind >= 5) & (f_ind < fre_num)
+    active = in_range & (mask > 0)
+    bucket = a_ind * fre_num + np.clip(f_ind, 0, fre_num - 1)
+    return bucket.astype(np.int32), active
+
+
+def gabor_apply_host(img: np.ndarray, bucket: np.ndarray,
+                     active: np.ndarray, angle_inc: int = 3,
+                     fre_num: int = 30) -> np.ndarray:
+    """NumPy twin of :func:`_gabor_apply` (same bank, same zero-padded
+    correlation, same min-max normalization) built for FEW distinct
+    buckets: one FFT correlation per bucket present, then per-pixel select.
+    Synthetic training imagery has one ridge spacing and <= 60 orientations
+    per image, so this runs in ~0.1 s/image on a host core where the
+    one-hot-matmul device path would burn the 2-core data-generation budget
+    (it exists for the TPU, not the host). Tested equal to the device path
+    in tests/test_ops.py."""
+    from scipy.signal import fftconvolve
+    bank = get_gabor_filters(angle_inc, fre_num)
+    bank2d = bank.reshape(-1, KMAX, KMAX)
+    img = np.asarray(img, np.float64)
+    enh = np.zeros_like(img)
+    for b in np.unique(bucket[active]):
+        sel = (bucket == b) & active
+        kern = bank2d[int(b)][::-1, ::-1]  # correlate == flipped convolve
+        conv = fftconvolve(img, kern, mode="same")
+        enh[sel] = conv[sel]
+    lo, hi = enh.min(), enh.max()
+    return ((enh - lo + 1e-4) / (hi - lo + 1e-4) * 255.0).astype(np.float32)
+
+
 def gabor_filtering_pixel2(img, dir_map, fre_map, mask=None,
                            block_size: int = 16, angle_inc: int = 3) -> jnp.ndarray:
     """Pixelwise Gabor enhancement (filtering.py:136-216).

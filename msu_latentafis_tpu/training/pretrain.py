@@ -170,6 +170,47 @@ def pretrain_enhancement(steps: int = 300, batch: int = 16, size: int = 128,
     return model, _variables(state)
 
 
+class _ShardStream:
+    """Random-access view over the shard directory gen_descriptor_pool.py
+    fills: every batch request picks a uniformly random (shard, row) over
+    ALL shards seen so far, and the file list is re-scanned periodically so
+    batches written after training starts join the pool. With producers
+    running, the effective pool keeps growing past any memorization
+    horizon — the r4 fixed-128-batch pool is what saturated at 2000 steps
+    and overfit by 4000 (VERDICT r4)."""
+
+    def __init__(self, root: str, rescan_every: int = 50,
+                 cache_shards: int = 512):
+        self.root = root
+        self.rescan_every = rescan_every
+        self.cache_shards = cache_shards
+        self._files: list = []
+        self._cache: dict = {}
+        self._calls = 0
+        self._rescan()
+        if not self._files:
+            raise FileNotFoundError(f"no shards in {root}")
+
+    def _rescan(self):
+        import glob as _glob
+        self._files = sorted(
+            _glob.glob(os.path.join(self.root, "shard_*.npz")))
+
+    def sample(self, rng: np.random.Generator):
+        self._calls += 1
+        if self._calls % self.rescan_every == 0:
+            self._rescan()
+        path = self._files[int(rng.integers(0, len(self._files)))]
+        if path not in self._cache:
+            if len(self._cache) >= self.cache_shards:
+                self._cache.pop(next(iter(self._cache)))
+            with np.load(path) as z:
+                self._cache[path] = (z["x"], z["y"])
+        x, y = self._cache[path]
+        k = int(rng.integers(0, len(x)))
+        return x[k], y[k]
+
+
 def pretrain_descriptor(steps: int = 200, seed: int = 0, log_every: int = 50,
                         resume_from: str = ""):
     rng = np.random.default_rng(seed)
@@ -178,32 +219,76 @@ def pretrain_descriptor(steps: int = 200, seed: int = 0, log_every: int = 50,
     state = create_train_state(model, key, jnp.zeros((8, 96, 96, 1)))
     state = _maybe_resume(state, resume_from)
     step_fn = jax.jit(triplet_train_step)
-    print("generating descriptor training pool...", flush=True)
 
-    def build():
-        # 16 identities per batch: triplet mining needs hard negatives in
-        # the batch — the 8-id pool saturated the margin at loss 0 while
-        # real cross-domain pairs still confused the embedding
-        data = [synthetic_descriptor_batch(rng, n_ids=16, samples_per_id=4)
-                for _ in range(128)]
-        return (np.stack([d[0] for d in data]),
-                np.stack([d[1] for d in data]))
+    def eval_embed(variables, xs_ev, ys_ev):
+        """Held-out retrieval health: recall@1 (nearest neighbor shares the
+        label) + mean positive/negative cosine. The number that predicts
+        SD27 mate minutiae-template scores is recall@1 across DOMAIN
+        renditions, which the v8 batches encode per-identity."""
+        embs, labs = [], []
+        apply = jax.jit(lambda v, x: model.apply(v, x, train=False))
+        for x, y in zip(xs_ev, ys_ev):
+            e = np.array(apply(variables, jnp.asarray(x)))
+            e /= np.linalg.norm(e, axis=1, keepdims=True) + 1e-8
+            sim = e @ e.T
+            np.fill_diagonal(sim, -2.0)
+            nn_lab = y[np.argmax(sim, axis=1)]
+            same = y[:, None] == y[None, :]
+            np.fill_diagonal(same, False)
+            embs.append(float(np.mean(nn_lab == y)))
+            pos = sim[same].mean()
+            neg = sim[(~same) & (sim > -2)].mean()
+            labs.append((pos, neg))
+        pos = float(np.mean([p for p, _ in labs]))
+        neg = float(np.mean([n for _, n in labs]))
+        return float(np.mean(embs)), pos, neg
 
-    xs, ys = _pool_cache(f"descriptor_v7_{seed}", build)
+    stream_dir = os.environ.get("PRETRAIN_STREAM_DIR", "")
+    eval_set = None
+    if stream_dir:
+        stream = _ShardStream(stream_dir)
+        print(f"streaming descriptor batches from {stream_dir} "
+              f"({len(stream._files)} shards)", flush=True)
+        draw = lambda: stream.sample(rng)
+        ev_rng = np.random.default_rng(seed + 777)
+        ev = [stream.sample(ev_rng) for _ in range(4)]
+        eval_set = ([x for x, _ in ev], [y for _, y in ev])
+    else:
+        print("generating descriptor training pool...", flush=True)
+
+        def build():
+            # 16 identities per batch: triplet mining needs hard negatives
+            # in the batch — the 8-id pool saturated the margin at loss 0
+            # while real cross-domain pairs still confused the embedding
+            data = [synthetic_descriptor_batch(rng, n_ids=16,
+                                               samples_per_id=4)
+                    for _ in range(128)]
+            return (np.stack([d[0] for d in data]),
+                    np.stack([d[1] for d in data]))
+
+        xs, ys = _pool_cache(f"descriptor_v8_{seed}", build)
+        draw = lambda: (lambda k: (xs[k], ys[k]))(int(rng.integers(0,
+                                                                   len(xs))))
     for i in range(steps):
-        k = int(rng.integers(0, len(xs)))
-        # train-time photometric jitter: the cached pool is finite, and a
-        # saturated margin on memorized patches does not transfer — keep
-        # the nuisances fresh per step
-        x = xs[k] * float(rng.uniform(0.8, 1.2)) \
-            + float(rng.uniform(-0.15, 0.15))
+        x, y = draw()
+        # train-time photometric jitter: keep the nuisances fresh per step
+        # even when a batch repeats
+        x = x * float(rng.uniform(0.8, 1.2)) + float(rng.uniform(-0.15, 0.15))
         x = x + rng.standard_normal(x.shape).astype(np.float32) \
             * float(rng.uniform(0.0, 0.08))
-        y = ys[k]
         state, loss = step_fn(state, jnp.asarray(x, jnp.float32),
                               jnp.asarray(y))
         if i % log_every == 0:
-            print(f"descriptor step {i}: loss {float(loss):.3f}", flush=True)
+            msg = f"descriptor step {i}: loss {float(loss):.3f}"
+            if eval_set is not None and i % (log_every * 4) == 0:
+                r1, pos, neg = eval_embed(_variables(state), *eval_set)
+                msg += (f"  heldout r@1 {r1:.3f} pos {pos:.3f} "
+                        f"neg {neg:.3f}")
+            print(msg, flush=True)
+    if eval_set is not None:
+        r1, pos, neg = eval_embed(_variables(state), *eval_set)
+        print(f"descriptor final: heldout r@1 {r1:.3f} pos {pos:.3f} "
+              f"neg {neg:.3f}", flush=True)
     return model, _variables(state)
 
 

@@ -242,7 +242,9 @@ def synthetic_descriptor_batch(rng: np.random.Generator, n_ids: int = 16,
     embedding must be stable across those domains for a mated pair to
     produce high-similarity correspondences.
     """
+    from ..ops.contrast import local_contrast_enhancement_gaussian
     from ..ops.fft import fast_cartoon_texture, stft_enhance
+    from ..ops.gabor import gabor_apply_host, gabor_plan_host
     from scipy.ndimage import rotate
 
     # Identities are LOCATIONS ON A SHARED FINGER, not independent ridge
@@ -251,42 +253,67 @@ def synthetic_descriptor_batch(rng: np.random.Generator, n_ids: int = 16,
     # real matcher needs. (Independent-patch identities separate on gross
     # orientation/frequency alone; the triplet loss saturated at ~0.001
     # while real cross-domain mate pairs stayed at impostor similarity.)
-    # Domain renditions mirror deployment: the latent's descriptors come
-    # from STFT/Gabor-ENHANCED images of a cluttered lift, the rolled
-    # gallery's from the raw/cartoon print (extraction_latent.py:175-181
-    # vs extraction_rolled.py:95). Each id's samples are crops of the SAME
-    # finger under different renditions; translation error is kept at the
-    # minutia-localization scale (<=6 px).
+    #
+    # Renditions mirror the deployment pairings EXACTLY (v8; the r4 pool
+    # had no Gabor-enhanced domain at all, yet the matcher's three
+    # selected latent minutiae templates {26, 2, 11} all describe
+    # Gabor-enhanced images — matcher.cpp:380 maps to descriptor images
+    # enh_texture/enh_contrast in extraction_latent.py:175-181 — and the
+    # latent texture descriptors come from enh_contrast too; that unseen
+    # domain is the diagnosed cause of the recorded 0.0 mate
+    # minutiae-template scores, results/sd27/diagnostics.json r4):
+    #   rolled side: raw print (minutiae des), contrast img (virtual des)
+    #   latent side: stft(lift), cartoon(lift), gabor(contrast(lift)),
+    #                gabor(cartoon(lift))
+    # The Gabor plan uses the renderer's ground-truth orientation +pi/2
+    # (dir_map ~ theta measured on the dictionary estimator) and the true
+    # ridge frequency, matching pipeline/latent.py:124. Each id's first
+    # two samples are forced to a (rolled-domain, gabor-latent-domain)
+    # pair so every identity carries the hard cross-domain positive.
     n_fingers = max(1, n_ids // 4)
     ids_per_finger = -(-n_ids // n_fingers)
     big = 256
     xs, ys = [], []
     label = 0
     for _ in range(n_fingers):
-        base, _ = render_ridge_image(rng, big, big,
-                                     spacing=float(rng.uniform(8, 10.5)),
-                                     noise_sigma=0.0)
+        sp = float(np.round(rng.uniform(8, 10.5)))
+        base, theta = render_ridge_image(rng, big, big, spacing=sp,
+                                         noise_sigma=0.0)
         # domain renditions of the whole finger (patch-level enhancement
         # would see different boundary windows than deployment)
         noisy = np.clip(base + rng.standard_normal(base.shape) * 10, 0, 255)
         lifted = add_latent_clutter(rng, noisy,
                                     strength=float(rng.uniform(0.4, 1.0)))
-        renditions = [
-            noisy,
-            np.asarray(stft_enhance(noisy), np.float64),
-            np.asarray(fast_cartoon_texture(noisy), np.float64),
-            np.asarray(stft_enhance(lifted), np.float64),
-            np.asarray(stft_enhance(
-                np.asarray(fast_cartoon_texture(lifted), np.float64)),
-                np.float64),
+        cartoon_l = np.asarray(fast_cartoon_texture(lifted), np.float64)
+        contrast_l = np.asarray(local_contrast_enhancement_gaussian(lifted),
+                                np.float64)
+        bucket, active = gabor_plan_host(theta + np.pi / 2,
+                                         np.full((big, big), 1.0 / sp),
+                                         (big, big))
+        rolled_renditions = [
+            noisy,                                             # raw print
+            np.asarray(local_contrast_enhancement_gaussian(noisy),
+                       np.float64),                            # virtual des
         ]
+        latent_renditions = [
+            np.asarray(stft_enhance(lifted), np.float64),      # stft_img
+            cartoon_l,                                         # texture_img
+            gabor_apply_host(contrast_l, bucket, active).astype(np.float64),
+            gabor_apply_host(cartoon_l, bucket, active).astype(np.float64),
+        ]
+        renditions = rolled_renditions + latent_renditions
         centers = rng.uniform(size // 2 + 8, big - size // 2 - 8,
                               (ids_per_finger, 2))
         for cy, cx in centers:
             if label >= n_ids:
                 break
             for k in range(samples_per_id):
-                j = renditions[int(rng.integers(0, len(renditions)))]
+                if k == 0:
+                    j = rolled_renditions[int(rng.integers(0, 2))]
+                elif k == 1:
+                    j = latent_renditions[int(rng.integers(2, 4))]
+                else:
+                    j = renditions[int(rng.integers(0, len(renditions)))]
                 ang = float(rng.uniform(-10, 10))
                 dy = int(cy - size // 2 + rng.integers(-6, 7))
                 dx = int(cx - size // 2 + rng.integers(-6, 7))

@@ -274,6 +274,32 @@ def test_gabor_apply_matches_per_pixel_gather(rng):
     assert np.allclose(got, want, rtol=1e-4, atol=2e-2)
 
 
+def test_gabor_host_matches_device(rng):
+    """The host FFT-correlation path (training-data generation) must equal
+    the device one-hot-matmul path for few-bucket selection maps — the
+    descriptor stand-ins train on gabor_apply_host output and deploy
+    against _gabor_apply output."""
+    import jax.numpy as jnp
+    from msu_latentafis_tpu.ops.gabor import (KMAX, _gabor_apply,
+                                              gabor_apply_host,
+                                              gabor_plan_host,
+                                              get_gabor_filters)
+    h, w = 48, 56
+    img = rng.uniform(0, 255, (h, w)).astype(np.float32)
+    angle = rng.uniform(-np.pi / 2, np.pi / 2, (h, w))
+    freq = np.full((h, w), 1.0 / 9.0)
+    bucket, active = gabor_plan_host(angle, freq, (h, w))
+    bank = get_gabor_filters()
+    bank_flat = bank.reshape(-1, KMAX * KMAX)
+    got_dev = np.asarray(_gabor_apply(jnp.asarray(img),
+                                      jnp.asarray(bucket, jnp.int32),
+                                      jnp.asarray(active),
+                                      jnp.asarray(bank_flat)))
+    got_host = gabor_apply_host(img, bucket, active)
+    assert np.allclose(got_host, got_dev, rtol=1e-3, atol=0.25), \
+        np.abs(got_host - got_dev).max()
+
+
 def test_evaluate_metrics(rng):
     from msu_latentafis_tpu.evaluate import (verification_metrics,
                                              rank_k_accuracy,
