@@ -124,6 +124,22 @@ def detect_minutiae_tiled(apply_fn, variables, img: np.ndarray,
     return decode_minutiae(canvas, thr=minu_thr)
 
 
+def detect_minutiae_whole_image_batch(apply_fn, variables, imgs,
+                                      thrs, multiple: int = 64,
+                                      refine_dist_thr: float = 20.0):
+    """Batched whole-image detection through ONE model: stacks same-shape
+    images into a single FCN forward + one vmapped decode dispatch (the
+    latent pipeline detects on image pairs per model —
+    extraction_latent.py:119-125, :128-148)."""
+    from ..ops.minutiae import decode_minutiae_batch
+    x = jnp.stack([jnp.asarray(im, jnp.float32) for im in imgs])
+    x = x[:, :, :, None] / 128.0 - 1.0
+    x, h, w = pad_to_multiple(x, multiple)
+    cyl = apply_fn(variables, x)
+    return decode_minutiae_batch(cyl[:, :h, :w, :], thrs,
+                                 refine_dist_thr=refine_dist_thr)
+
+
 def detect_minutiae_whole_image(apply_fn, variables, img: np.ndarray,
                                 minu_thr: float = 0.2, multiple: int = 64,
                                 refine_dist_thr: float = 20.0) -> np.ndarray:

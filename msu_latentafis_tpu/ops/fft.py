@@ -87,6 +87,22 @@ def extract_blocks(img: jnp.ndarray, patch: int = PATCH, stride: int = BLOCK,
     h, w = img.shape
     bh = (h - patch) // stride + (1 if inclusive else 0)
     bw = (w - patch) // stride + (1 if inclusive else 0)
+    if patch % stride == 0 and h % stride == 0 and w % stride == 0:
+        # gather-free form: each patch is a (k x k) grid of stride-sized
+        # tiles; tile (a, b) of patch (i, j) is image tile (i+a, j+b), so
+        # the whole extraction is k^2 static slices of the tile grid
+        # (TPU gathers measured ~50x slower than these slice/reshapes)
+        k = patch // stride
+        s = stride
+        tiles = jnp.asarray(img).reshape(h // s, s, w // s, s) \
+            .transpose(0, 2, 1, 3)                   # [Hb, Wb, s, s]
+        rows = [jnp.stack([tiles[a:a + bh, b:b + bw] for b in range(k)],
+                          axis=2)                    # [bh, bw, k, s, s]
+                for a in range(k)]
+        patches = jnp.stack(rows, axis=2)            # [bh, bw, k, k, s, s]
+        patches = patches.transpose(0, 1, 2, 4, 3, 5) \
+            .reshape(bh * bw, patch, patch)
+        return patches, bh, bw
     i0 = (np.arange(bh) * stride)[:, None, None, None]
     j0 = (np.arange(bw) * stride)[None, :, None, None]
     di = np.arange(patch)[None, None, :, None]
@@ -97,8 +113,27 @@ def extract_blocks(img: jnp.ndarray, patch: int = PATCH, stride: int = BLOCK,
 
 def overlap_add(patches: jnp.ndarray, h: int, w: int, bh: int, bw: int,
                 stride: int = BLOCK) -> jnp.ndarray:
-    """Scatter-add [bh*bw, P, P] patches back onto an [h, w] canvas."""
+    """Overlap-add [bh*bw, P, P] patches back onto an [h, w] canvas.
+
+    When P is a multiple of the stride (the 64/16 STFT geometry), the
+    scatter is reformulated as (P/stride)^2 STATIC shifted adds: each patch
+    is split into stride-sized sub-tiles; sub-tile (a, b) of every patch
+    lands on a regular non-overlapping grid offset by (a, b) strides, which
+    is a reshape + one static-slice add. TPU scatter-adds measured 0.21 s
+    for this shape; the shift-add form is pure VPU adds."""
     p = patches.shape[-1]
+    if p % stride == 0:
+        k = p // stride
+        s = stride
+        x = patches.reshape(bh, bw, k, s, k, s)
+        canvas = jnp.zeros((h, w), patches.dtype)
+        for a in range(k):
+            for b in range(k):
+                tile = x[:, :, a, :, b, :].transpose(0, 2, 1, 3) \
+                    .reshape(bh * s, bw * s)
+                canvas = canvas.at[a * s:a * s + bh * s,
+                                   b * s:b * s + bw * s].add(tile)
+        return canvas
     i0 = (np.arange(bh) * stride)[:, None, None, None]
     j0 = (np.arange(bw) * stride)[None, :, None, None]
     di = np.arange(p)[None, None, :, None]
@@ -118,18 +153,60 @@ def _bandpass(patch_size: int) -> np.ndarray:
     return (1.0 / (1 + (r / f_high) ** 4)) * (1.0 / (1 + (f_low / r) ** 4))
 
 
+@functools.lru_cache(maxsize=2)
+def _dft_mats(n: int):
+    """Real/imag parts of the n-point DFT matrix (f32)."""
+    k = np.arange(n)
+    ang = 2 * np.pi * np.outer(k, k) / n
+    return (jnp.asarray(np.cos(ang), jnp.float32),
+            jnp.asarray(np.sin(ang), jnp.float32))
+
+
 @functools.partial(jax.jit, static_argnames=())
 def _stft_core(img: jnp.ndarray, band: jnp.ndarray, weight: jnp.ndarray) -> jnp.ndarray:
+    """Batched 64x64 block STFT filtering, with the 2-D DFT expressed as
+    f32 MATMULS (F X F^T with F = C - iS) instead of jnp.fft: XLA's TPU
+    FFT emulation ran ~0.3 s per whole-image call; 14 [N,64,64]@[64,64]
+    HIGHEST-precision matmuls are MXU work measured ~10x faster. The band
+    mask is applied unshifted (band is fftshifted by the caller, so it is
+    un-shifted here once) — numerics match jnp.fft to ~1e-4."""
     h, w = img.shape
     patches, bh, bw = extract_blocks(img, inclusive=False)
     med = jnp.median(patches.reshape(bh * bw, -1), axis=1)
     patches = patches - med[:, None, None]
-    f = jnp.fft.fftshift(jnp.fft.fft2(patches), axes=(1, 2))
-    filt = band[None] * f
-    norm = jnp.sqrt(jnp.sum(jnp.abs(filt) ** 2, axis=(1, 2)))
-    filt = filt / (norm[:, None, None] + 1e-4)
-    rec = jnp.real(jnp.fft.ifft2(jnp.fft.ifftshift(filt, axes=(1, 2))))
+
+    n = patches.shape[-1]
+    C, S = _dft_mats(n)
+    band_u = jnp.fft.ifftshift(band)               # static shift of a const
+    hi = jax.lax.Precision.HIGHEST
+    mm = lambda a, b: jnp.matmul(a, b, precision=hi)
+    # forward: Y = F X F with symmetric F = C - iS (X real):
+    # Yr = CXC - SXS, Yi = -(CXS + SXC)
+    CX = mm(C, patches)
+    SX = mm(S, patches)
+    Yr = mm(CX, C) - mm(SX, S)
+    Yi = -(mm(CX, S) + mm(SX, C))
+    # band + energy normalization (band is real, applied elementwise)
+    Yr = band_u[None] * Yr
+    Yi = band_u[None] * Yi
+    norm = jnp.sqrt(jnp.sum(Yr * Yr + Yi * Yi, axis=(1, 2)))
+    scale = 1.0 / (norm[:, None, None] + 1e-4)
+    Yr = Yr * scale
+    Yi = Yi * scale
+    # inverse, real part: (1/n^2) Re[conj(F) Y conj(F)], conj(F) = C + iS
+    A = mm(C, Yr) - mm(S, Yi)                      # Re[conj(F) Y]
+    B = mm(C, Yi) + mm(S, Yr)                      # Im[conj(F) Y]
+    rec = (mm(A, C) - mm(B, S)) / (n * n)
     return overlap_add(rec * weight[None], h, w, bh, bw)
+
+
+@jax.jit
+def stft_enhance_batch(imgs: jnp.ndarray) -> jnp.ndarray:
+    """STFT block enhancement of a batch [N, H, W]: the latent pipeline
+    needs three STFT variants of the same-shaped image (extraction_latent
+    :101-102); one vmapped dispatch replaces three (each ~0.2 s of mostly
+    dispatch/FFT-launch overhead through the remote-TPU tunnel)."""
+    return jax.vmap(stft_enhance)(imgs)
 
 
 def stft_enhance(img: jnp.ndarray) -> jnp.ndarray:

@@ -161,6 +161,43 @@ def gabor_apply_planned(img, plan) -> jnp.ndarray:
                         jnp.asarray(bank_flat))
 
 
+def gabor_apply_planned_multi(imgs, plan):
+    """Gabor-enhance several same-shape images under ONE plan in one
+    dispatch: the per-pixel kernel table K (the 800-GFLOP one-hot matmul +
+    ~900 MB materialization) is computed once and shared — the latent
+    pipeline enhances both the contrast and texture images with the same
+    orientation/frequency plan (extraction_latent.py:135-148)."""
+    bucket, active, angle_inc, fre_num = plan
+    bank = get_gabor_filters(angle_inc, fre_num)
+    bank_flat = bank.reshape(-1, KMAX * KMAX)
+    out = _gabor_apply_multi(jnp.stack([jnp.asarray(im, jnp.float32)
+                                        for im in imgs]), bucket, active,
+                             jnp.asarray(bank_flat))
+    return [out[i] for i in range(len(imgs))]
+
+
+@functools.partial(jax.jit, static_argnames=("fre_num",))
+def _gabor_apply_multi(imgs: jnp.ndarray, bucket: jnp.ndarray,
+                       active: jnp.ndarray, bank_flat: jnp.ndarray,
+                       fre_num: int = 30) -> jnp.ndarray:
+    n, h, w = imgs.shape
+    nb, nt = bank_flat.shape
+    oh = jax.nn.one_hot(bucket.reshape(-1), nb, dtype=jnp.bfloat16)
+    K = jax.lax.dot_general(
+        oh, bank_flat.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)        # [P, nt] exact, shared
+    outs = []
+    for i in range(n):
+        patches = jax.lax.conv_general_dilated_patches(
+            imgs[i][None, :, :, None], (KMAX, KMAX), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))[0]
+        enh = jnp.sum(patches.reshape(-1, nt) * K, axis=1).reshape(h, w)
+        enh = jnp.where(active, enh, 0.0)
+        lo, hi = jnp.min(enh), jnp.max(enh)
+        outs.append((enh - lo + 1e-4) / (hi - lo + 1e-4) * 255.0)
+    return jnp.stack(outs)
+
+
 def gabor_plan_host(angle: np.ndarray, frequency: np.ndarray,
                     shape: Tuple[int, int], mask=None, angle_inc: int = 3,
                     fre_num: int = 30):

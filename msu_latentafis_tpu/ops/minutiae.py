@@ -192,6 +192,30 @@ def get_common_minutiae(minutiae_sets, thr: int = 3, init_ind: int = 3) -> np.nd
     return keep
 
 
+def decode_minutiae_batch(cylinders, thrs, refine: bool = True,
+                          crowd_filter: bool = True,
+                          refine_dist_thr: float = 20.0):
+    """Batched decode of same-shape cylinders [N, H, W, C] with per-image
+    thresholds: one vmapped device decode, host refine per image. Used to
+    fuse the latent pipeline's paired same-model detections into one
+    dispatch."""
+    ms, ns = jax.vmap(lambda c, t: decode_cylinder(c, t))(
+        jnp.asarray(cylinders, jnp.float32),
+        jnp.asarray(thrs, jnp.float32))
+    ms = np.asarray(ms)
+    ns = np.asarray(ns)
+    out = []
+    for i in range(len(thrs)):
+        m = ms[i][:int(ns[i])]
+        if refine and len(m):
+            m = refine_minutiae(m, dist_thr=refine_dist_thr,
+                                ori_dist=np.pi / 4)
+        if crowd_filter and len(m):
+            m = remove_crowded_minutiae(m)
+        out.append(np.asarray(m))
+    return out
+
+
 def decode_minutiae(cylinder, thr: float = 0.2, max_minutiae: int = 1000,
                     refine: bool = True, crowd_filter: bool = True,
                     refine_dist_thr: float = 20.0) -> np.ndarray:

@@ -105,6 +105,46 @@ def device_patch_grids(patch_types: Tuple[int, ...] = (2, 8, 11)):
             jnp.asarray(np.stack(ys), jnp.int16))
 
 
+PATCH_PAD = 128     # > max |rotated grid offset| (114 at 160-px windows)
+
+
+@functools.lru_cache(maxsize=8)
+def device_patch_index_table(patch_types: Tuple[int, ...], wp: int):
+    """PACKED rotation-grid table [T, ORI_NUM, 96, 96] int32 with value
+    ``gy * wp + gx`` into an edge-padded [hp, wp] image (PATCH_PAD border).
+
+    Replaces the two separate gx/gy int gathers + clip arithmetic of
+    :func:`gather_patches_device`: measured at ~300M gathered elements/s on
+    the chip, halving the grid-gather elements cuts the descriptor stage's
+    dominant cost. Edge-replicate padding reproduces the host path's
+    coordinate clamping EXACTLY (clip(x) then clip(y) == sampling the
+    edge-padded image at unclipped offsets)."""
+    import jax.numpy as jnp
+    gx, gy = get_patch_index()
+    tabs = []
+    for pt in patch_types:
+        (xa, xb), (ya, yb) = _PATCH_LOCATIONS[pt]
+        assert xb - xa == 96 and yb - ya == 96, \
+            f"patch type {pt} needs resize; use the host path"
+        tabs.append(gy[:, ya:yb, xa:xb].astype(np.int64) * wp
+                    + gx[:, ya:yb, xa:xb])
+    return jnp.asarray(np.stack(tabs), jnp.int32)
+
+
+def gather_patches_device_packed(stack_flat_padded, wp: int, pad: int,
+                                 xb, yb, ori_ind, table):
+    """Single-gather patch extraction against an edge-padded image stack.
+
+    ``stack_flat_padded``: [hp * wp, I]; ``table`` from
+    :func:`device_patch_index_table` (built for this ``wp``). Returns
+    [T, B, 96, 96, I] patches identical to :func:`gather_patches_device`
+    on the unpadded stack."""
+    import jax.numpy as jnp
+    base = (yb + pad) * wp + (xb + pad)             # [B]
+    fi = table[:, ori_ind] + base[None, :, None, None]
+    return jnp.take(stack_flat_padded, fi, axis=0)  # [T, B, 96, 96, I]
+
+
 def gather_patches_device(img_stack_flat, h: int, w: int, xb, yb, ori_ind,
                           grids_x, grids_y):
     """Device-side aligned-patch gather for all patch types at once.

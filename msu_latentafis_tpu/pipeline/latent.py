@@ -86,10 +86,10 @@ class LatentFeatureExtractor:
         dimg = jnp.asarray(img)
         texture_img = F.fast_cartoon_texture(dimg)
         _lap("cartoon", texture_img)
-        stft_texture = F.stft_enhance(texture_img)
         contrast_img = C.local_contrast_enhancement_gaussian(dimg)
-        stft_img = F.stft_enhance(dimg)
-        contrast_stft = F.stft_enhance(contrast_img)
+        stft3 = F.stft_enhance_batch(jnp.stack([texture_img, dimg,
+                                                contrast_img]))
+        stft_texture, stft_img, contrast_stft = stft3[0], stft3[1], stft3[2]
         _lap("stft_x3", stft_texture, stft_img, contrast_stft)
 
         # --- AEC enhancement + maps + mask
@@ -112,10 +112,10 @@ class LatentFeatureExtractor:
         mask = (mask > 0).astype(np.float64)
         _lap("maps_mask")
 
-        # --- minutiae sets
+        # --- minutiae sets (same-model pairs batched into one dispatch)
         minutiae_sets: List[np.ndarray] = []
-        minutiae_sets.append(self.models.detect_minutiae(0, stft_img, 0.05))
-        minutiae_sets.append(self.models.detect_minutiae(0, contrast_stft, 0.10))
+        minutiae_sets.extend(self.models.detect_minutiae_batch(
+            0, [stft_img, contrast_stft], [0.05, 0.10]))
         mnt_aec = self.models.detect_minutiae(1, aec_img, 0.25)
         mnt_aec = M.remove_spurious_minutiae(mnt_aec, mask)
         minutiae_sets.append(mnt_aec)
@@ -123,14 +123,14 @@ class LatentFeatureExtractor:
 
         plan = gabor.gabor_plan(dir_map + math.pi / 2, fre_map, (h, w),
                                 mask=np.ones((h, w), np.uint8))
-        enh_contrast = gabor.gabor_apply_planned(contrast_img, plan)
-        enh_texture = gabor.gabor_apply_planned(texture_img, plan)
+        enh_contrast, enh_texture = gabor.gabor_apply_planned_multi(
+            [contrast_img, texture_img], plan)
         _lap("gabor_x2", enh_contrast, enh_texture)
 
-        mnt_contrast = self.models.detect_minutiae(1, enh_contrast, 0.25)
+        mnt_contrast, mnt_texture = self.models.detect_minutiae_batch(
+            1, [enh_contrast, enh_texture], [0.25, 0.25])
         mnt_contrast = M.remove_spurious_minutiae(mnt_contrast, mask)
         minutiae_sets.append(mnt_contrast)
-        mnt_texture = self.models.detect_minutiae(1, enh_texture, 0.25)
         mnt_texture = M.remove_spurious_minutiae(mnt_texture, mask)
         minutiae_sets.append(mnt_texture)
         _lap("detect_2")
@@ -150,19 +150,33 @@ class LatentFeatureExtractor:
             "minutiae_per_set": [int(len(m)) for m in minutiae_sets],
         }
 
-        # --- 7 sets x 4 descriptor images = 28 minutiae templates, via one
-        # fused (gather + nets) dispatch per set over the device-resident
-        # image stack (order matches extraction_latent.py:175-181)
+        # --- 7 sets x 4 descriptor images = 28 minutiae templates, via ONE
+        # fused (gather + nets) dispatch over the UNION of unique minutiae
+        # across all sets (consensus sets are exact copies of source-set
+        # rows, so the union is ~60% the size of the concatenation; the
+        # gather runs at ~300M elements/s and dominates this stage). Order
+        # matches extraction_latent.py:175-181.
         t0 = time.perf_counter()
         stack = self.models.prepare_image_stack(
             [stft_img, texture_img, enh_texture, enh_contrast])
         template = Template()
-        for mnt in minutiae_sets:
-            per_img = self.models.describe_stack(stack, mnt)
-            for des in per_img:
+        set_arrays = [np.asarray(mnt).reshape(-1, 4) if len(mnt)
+                      else np.zeros((0, 4)) for mnt in minutiae_sets]
+        cat = np.concatenate(set_arrays, axis=0)
+        if len(cat):
+            # descriptors depend on (x, y, ori) only; round for float-safe
+            # exact dedupe of consensus copies
+            union, inverse = np.unique(cat[:, :3].round(6), axis=0,
+                                       return_inverse=True)
+            per_img_union = self.models.describe_stack(stack, union)
+        sizes = np.cumsum([0] + [len(a) for a in set_arrays])
+        for si, mnt in enumerate(set_arrays):
+            idx = inverse[sizes[si]:sizes[si + 1]] if len(mnt) else None
+            for i in range(stack.n_images):
+                des = ([arr[idx] for arr in per_img_union[i]]
+                       if len(mnt) else [])
                 template.add_minu_template(MinuTemplate(
-                    h=h, w=w, blkH=blkH, blkW=blkW,
-                    minutiae=np.asarray(mnt).reshape(-1, 4) if len(mnt) else np.zeros((0, 4)),
+                    h=h, w=w, blkH=blkH, blkW=blkW, minutiae=mnt,
                     des=des, oimg=dir_map.copy(), mask=mask))
         self.timings["descriptors"] = time.perf_counter() - t0
 

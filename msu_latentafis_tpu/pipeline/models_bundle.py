@@ -10,6 +10,7 @@ external downloads that do not ship with the repo).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 from typing import Any, Dict, List, Optional, Sequence
 
@@ -41,12 +42,18 @@ def save_checkpoint(path: str, variables) -> None:
 
 @dataclasses.dataclass
 class ImageStack:
-    """Device-resident descriptor-source images, transposed to [H*W, I]."""
+    """Device-resident descriptor-source images, edge-padded by ``pad`` px
+    and transposed to [hp * wp, I] so each patch-gather row is one
+    contiguous [I] slice (edge padding reproduces the host path's
+    coordinate clamping exactly — ops.patches.device_patch_index_table)."""
 
     h: int
     w: int
     n_images: int
-    flat: Any
+    pad: int
+    hp: int
+    wp: int
+    flat: Any          # [hp * wp, I]
 
 
 @dataclasses.dataclass
@@ -122,12 +129,12 @@ class ModelBundle:
 
         descriptors = self.descriptors
 
-        def _describe_all(des_vars, flat, xb, yb, ori_ind, gx, gy, h, w):
-            """One fused device pass: patch gather for every patch type +
-            all descriptor nets + L2 normalization -> [T, I, B, 64]."""
-            from ..ops.patches import gather_patches_device
-            patches = gather_patches_device(flat, h, w, xb, yb, ori_ind,
-                                            gx, gy)       # [T, B, 96, 96, I]
+        def _describe_all(des_vars, flat, xb, yb, ori_ind, table, wp, pad):
+            """One fused device pass: packed-table patch gather for every
+            patch type + all descriptor nets + L2 norm -> [T, I, B, 64]."""
+            from ..ops.patches import gather_patches_device_packed
+            patches = gather_patches_device_packed(
+                flat, wp, pad, xb, yb, ori_ind, table)     # [T, B, 96, 96, I]
             outs = []
             for k, net in enumerate(descriptors):
                 x = jnp.moveaxis(patches[k], -1, 0)        # [I, B, 96, 96]
@@ -138,7 +145,8 @@ class ModelBundle:
                 outs.append(emb.reshape(patches.shape[-1], patches.shape[1], -1))
             return jnp.stack(outs)                          # [T, I, B, 64]
 
-        self._describe_all = jax.jit(_describe_all, static_argnames=("h", "w"))
+        self._describe_all = jax.jit(_describe_all,
+                                     static_argnames=("wp", "pad"))
 
     # ------------------------------------------------------------------
     def enhance(self, img: np.ndarray) -> np.ndarray:
@@ -154,14 +162,36 @@ class ModelBundle:
             minu_thr=minu_thr, multiple=16 if modified else 64,
             refine_dist_thr=10.0 if modified else 20.0)
 
+    def detect_minutiae_batch(self, model_idx: int, imgs, thrs):
+        """Paired same-model detection in one forward + one decode dispatch
+        (same semantics as per-image detect_minutiae)."""
+        from ..models.minutiae_net import detect_minutiae_whole_image_batch
+        modified = isinstance(self.minutiae[model_idx], MinutiaeAEC64)
+        return detect_minutiae_whole_image_batch(
+            self._minu_apply[model_idx], self.minutiae_vars[model_idx],
+            imgs, thrs, multiple=16 if modified else 64,
+            refine_dist_thr=10.0 if modified else 20.0)
+
     def prepare_image_stack(self, imgs: Sequence) -> "ImageStack":
-        """Device-resident [H*W, I] transposed image stack for
-        describe_stack: each patch-gather row is a contiguous [I] slice, so
-        one gather serves every descriptor source image at once."""
+        """Device-resident edge-padded [hp*wp, I] transposed image stack
+        for describe_stack: each patch-gather row is a contiguous [I]
+        slice, so one gather serves every descriptor source image at
+        once."""
+        from ..ops.patches import PATCH_PAD
         arrs = [jnp.asarray(im, jnp.float32) for im in imgs]
         h, w = arrs[0].shape
-        return ImageStack(h=h, w=w, n_images=len(arrs),
-                          flat=jnp.stack(arrs, axis=-1).reshape(h * w, len(arrs)))
+        pad = PATCH_PAD
+        hp, wp = h + 2 * pad, w + 2 * pad
+        flat = self._stack_pad(tuple(arrs), pad)
+        return ImageStack(h=h, w=w, n_images=len(arrs), pad=pad, hp=hp,
+                          wp=wp, flat=flat)
+
+    @staticmethod
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def _stack_pad(arrs, pad: int):
+        padded = [jnp.pad(a, pad, mode="edge") for a in arrs]
+        hp, wp = padded[0].shape
+        return jnp.stack(padded, axis=-1).reshape(hp * wp, len(arrs))
 
     def describe_stack(self, stack: "ImageStack", minutiae: np.ndarray,
                        batch_size: int = 256) -> List[List[np.ndarray]]:
@@ -172,41 +202,47 @@ class ModelBundle:
         dominated by host->device patch uploads (22 MB/s measured; a
         900-minutia template is ~100 MB of f32 patches). Here only the
         [B]-sized minutiae cross; patches are gathered on device from the
-        already-resident images and the full (gather + 3 nets + normalize)
-        pass is one dispatch per 256-minutiae chunk.
+        already-resident images. Gathers run at ~300M elements/s on the
+        chip, so the batch is padded to a power-of-two bucket and the full
+        (packed-table gather + 3 nets + normalize) pass is ONE dispatch
+        (chunked only above ``max_bucket``) instead of fixed 256-chunks.
         """
         import math as _math
         from ..ops.patches import (ORI_NUM, _PATCH_LOCATIONS,
-                                   device_patch_grids)
+                                   device_patch_index_table)
         n = len(minutiae)
         if n == 0:
             return [[] for _ in range(stack.n_images)]
-        # device_patch_grids only supports patch types whose crop window is
+        # the packed table only supports patch types whose crop window is
         # already 96x96 (no resize). Fall back to the host oracle path for
         # bundles configured with resize-needing types (ADVICE r4).
         if any(_PATCH_LOCATIONS[pt][0][1] - _PATCH_LOCATIONS[pt][0][0] != 96
                or _PATCH_LOCATIONS[pt][1][1] - _PATCH_LOCATIONS[pt][1][0] != 96
                for pt in self.patch_types):
-            imgs = np.asarray(stack.flat).reshape(stack.h, stack.w,
-                                                  stack.n_images)
+            imgs = np.asarray(stack.flat).reshape(
+                stack.hp, stack.wp, stack.n_images)[
+                stack.pad:stack.pad + stack.h,
+                stack.pad:stack.pad + stack.w]
             return [self.describe_host(imgs[..., i], minutiae)
                     for i in range(stack.n_images)]
         m = np.asarray(minutiae)
         ori = (-m[:, 2]) % (2 * _math.pi)
         ori_ind = np.round(ori / (2 * _math.pi) * ORI_NUM).astype(np.int32) % ORI_NUM
-        xs = m[:, 0].astype(np.int32)
-        ys = m[:, 1].astype(np.int32)
-        gx, gy = device_patch_grids(tuple(self.patch_types))
+        xs = np.clip(m[:, 0].astype(np.int32), 0, stack.w - 1)
+        ys = np.clip(m[:, 1].astype(np.int32), 0, stack.h - 1)
+        table = device_patch_index_table(tuple(self.patch_types), stack.wp)
         des_vars = tuple(self.descriptor_vars)
 
+        max_bucket = 2048
         chunks = []
-        for i0 in range(0, n, batch_size):
-            b = np.arange(i0, min(i0 + batch_size, n))
-            pad = batch_size - len(b)
+        for i0 in range(0, n, max_bucket):
+            b = np.arange(i0, min(i0 + max_bucket, n))
+            bucket = max(batch_size, 1 << (len(b) - 1).bit_length())
+            pad = bucket - len(b)
             bi = np.concatenate([b, np.zeros(pad, int)]) if pad else b
             out = self._describe_all(
                 des_vars, stack.flat, jnp.asarray(xs[bi]), jnp.asarray(ys[bi]),
-                jnp.asarray(ori_ind[bi]), gx, gy, h=stack.h, w=stack.w)
+                jnp.asarray(ori_ind[bi]), table, wp=stack.wp, pad=stack.pad)
             chunks.append(np.asarray(out))               # [T, I, B, 64]
         full = np.concatenate(chunks, axis=2)[:, :, :n]  # [T, I, n, 64]
         return [[full[k, i].astype(np.float32)

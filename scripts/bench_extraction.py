@@ -10,7 +10,7 @@ Two measurement modes per pipeline:
     the per-stage split is only honest in this mode).
 
 The first pass per pipeline pays per-shape compiles. Writes
-BENCH_EXTRACT_r04.json. Run alone (single TPU tunnel).
+BENCH_EXTRACT_r05.json. Run alone (single TPU tunnel).
 """
 import json
 import os
@@ -22,7 +22,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT = os.path.join(REPO, "BENCH_EXTRACT_r04.json")
+OUT = os.path.join(REPO, "BENCH_EXTRACT_r05.json")
 
 
 def main():
