@@ -33,12 +33,28 @@ def _nextpow2(x: int) -> int:
 
 def lowpass_filter(img: jnp.ndarray, L: jnp.ndarray) -> jnp.ndarray:
     """Zero-pad to L's shape, filter in the (fftshifted) frequency domain
-    (preprocessing.py:62-76)."""
+    (preprocessing.py:62-76). The 2-D DFT runs as HIGHEST-precision MXU
+    matmuls (XLA's TPU FFT emulation is ~10x slower at these sizes; the
+    filter is real and applied unshifted, matching fftshift semantics)."""
     h, w = img.shape
     h2, w2 = L.shape
     padded = jnp.pad(img, ((0, h2 - h), (0, w2 - w)))
-    f = jnp.fft.fftshift(jnp.fft.fft2(padded))
-    rec = jnp.real(jnp.fft.ifft2(jnp.fft.fftshift(f * L)))
+    Lu = jnp.fft.ifftshift(L)
+    Ch, Sh = _dft_mats(h2)
+    Cw, Sw = _dft_mats(w2)
+    hi = jax.lax.Precision.HIGHEST
+    mm = lambda a, b: jnp.matmul(a, b, precision=hi)
+    # Y = F_h X F_w (X real, F = C - iS symmetric)
+    CX = mm(Ch, padded)
+    SX = mm(Sh, padded)
+    Yr = mm(CX, Cw) - mm(SX, Sw)
+    Yi = -(mm(CX, Sw) + mm(SX, Cw))
+    Yr = Lu * Yr
+    Yi = Lu * Yi
+    # rec = (1/(h2 w2)) Re[conj(F_h) Y conj(F_w)]
+    A = mm(Ch, Yr) - mm(Sh, Yi)
+    B = mm(Ch, Yi) + mm(Sh, Yr)
+    rec = (mm(A, Cw) - mm(B, Sw)) / (h2 * w2)
     return rec[:h, :w]
 
 

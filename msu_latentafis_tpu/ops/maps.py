@@ -463,14 +463,37 @@ def ssim_mask_quality(img: jnp.ndarray, temp_img: jnp.ndarray) -> jnp.ndarray:
 
 def ssim_mask(img, temp_img, thr: float = 0.65) -> np.ndarray:
     """Full SSIM block mask with cv2-Gaussian + binary closing/opening."""
-    from . import morphology
     q = ssim_mask_quality(jnp.asarray(img, jnp.float32),
                           jnp.asarray(temp_img, jnp.float32))
     q = gaussian_blur_cv2(q, ksize=5, sigma=0.0)
-    blk = np.asarray(q) > thr
+    return _ssim_mask_host(np.asarray(q), thr)
+
+
+def _ssim_mask_host(q: np.ndarray, thr: float) -> np.ndarray:
+    """Host tail of ssim_mask (threshold + tiny-block morphology)."""
+    from . import morphology
+    blk = q > thr
     blk = morphology.binary_closing(blk, np.ones((3, 3), bool))
     blk = morphology.binary_opening(blk, np.ones((3, 3), bool))
     return blk.astype(np.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("replicate_border_bug",))
+def quality_ssim_fused(aec_img, stft_texture, dict_all, ori_all,
+                       spacing_all, replicate_border_bug: bool = True):
+    """One dispatch for the latent mask stage's device work: dictionary
+    quality/ori/freq maps of the AEC image + blurred SSIM block quality
+    between the STFT-texture and AEC images (extraction_latent.py:106-115)
+    — the two separate dispatches plus their round-trips cost ~0.2 s of
+    the maps_mask stage through the tunnel. Returns
+    (quality, dir, fre, ssim_quality[blurred])."""
+    q, d, f = _quality_map_core(jnp.asarray(aec_img, jnp.float32),
+                                dict_all, ori_all, spacing_all,
+                                replicate_border_bug)
+    sq = ssim_mask_quality(jnp.asarray(stft_texture, jnp.float32),
+                           jnp.asarray(aec_img, jnp.float32))
+    sq = gaussian_blur_cv2(sq, ksize=5, sigma=0.0)
+    return q, d, f, sq
 
 
 @jax.jit

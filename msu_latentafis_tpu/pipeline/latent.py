@@ -42,9 +42,14 @@ def adjust_image_size(img: np.ndarray, block_size: int = BLOCK) -> np.ndarray:
 
 class LatentFeatureExtractor:
     def __init__(self, models: Optional[ModelBundle] = None, config=None):
+        import jax.numpy as jnp
         self.models = models or ModelBundle.initialize(config)
-        self.dict_all, self.dict_ori, self.dict_spacing = \
-            maps.construct_dictionary(ori_num=60)
+        d_all, d_ori, d_spc = maps.construct_dictionary(ori_num=60)
+        # device-resident once: passing host arrays into the jitted maps
+        # core re-uploads the ~MB dictionary every call (22 MB/s tunnel)
+        self.dict_all = jnp.asarray(d_all)
+        self.dict_ori = jnp.asarray(d_ori)
+        self.dict_spacing = jnp.asarray(d_spc)
         self.timings = {}
         # per-stage diagnostics of the LAST extract() call: quality-failure
         # attribution (a 0.0 mate score usually means an empty minutiae set
@@ -95,15 +100,16 @@ class LatentFeatureExtractor:
         # --- AEC enhancement + maps + mask
         aec_img = self.models.enhance(stft_texture)
         _lap("aec", aec_img)
-        quality, dir_map, fre_map = maps.get_quality_map_dict(
-            aec_img, self.dict_all, self.dict_ori, self.dict_spacing)
+        quality, dir_map, fre_map, ssim_q = maps.quality_ssim_fused(
+            aec_img, stft_texture, self.dict_all, self.dict_ori,
+            self.dict_spacing)
         quality = np.asarray(quality)
         dir_map = np.asarray(dir_map)
         fre_map = np.asarray(fre_map)
         blk_aec = (quality > 0.45)
         blk_aec = morphology.binary_closing(blk_aec, np.ones((3, 3), bool))
         blk_aec = morphology.binary_opening(blk_aec, np.ones((3, 3), bool))
-        blk_ssim = maps.ssim_mask(stft_texture, aec_img, thr=0.2)
+        blk_ssim = maps._ssim_mask_host(np.asarray(ssim_q), thr=0.2)
         blkmask = blk_ssim * blk_aec.astype(np.int32)
         blkH, blkW = blkmask.shape
         import cv2

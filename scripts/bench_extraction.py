@@ -48,23 +48,32 @@ def main():
     imgs = [render_ridge_image(rng, 768, 800)[0] for _ in range(3)]
 
     def run_one(extractor, name):
+        # remote-tunnel dispatch latency fluctuates ~2x run to run; report
+        # the MIN over several steady passes (the reproducible number) and
+        # keep the per-stage split from the fastest synced pass
         t0 = time.time()
         extractor.extract(imgs[0])
         compile_s = time.time() - t0
-        t0 = time.time()
-        extractor.extract(imgs[1])
-        steady = time.time() - t0
+        steady = []
+        for _ in range(3):
+            t0 = time.time()
+            extractor.extract(imgs[1])
+            steady.append(time.time() - t0)
         os.environ["EXTRACT_SYNC_TIMINGS"] = "1"
-        t0 = time.time()
-        extractor.extract(imgs[2])
-        sync_s = time.time() - t0
+        sync_s, stages = [], None
+        for _ in range(3):
+            t0 = time.time()
+            extractor.extract(imgs[2])
+            sync_s.append(time.time() - t0)
+            if sync_s[-1] == min(sync_s):
+                stages = dict(extractor.timings)
         os.environ.pop("EXTRACT_SYNC_TIMINGS", None)
         results[name] = {
-            "seconds_per_image": round(steady, 3),
-            "seconds_per_image_synced": round(sync_s, 3),
+            "seconds_per_image": round(min(steady), 3),
+            "seconds_per_image_mean": round(sum(steady) / len(steady), 3),
+            "seconds_per_image_synced": round(min(sync_s), 3),
             "first_call_s": round(compile_s, 1),
-            "stages_synced": {k: round(v, 3)
-                              for k, v in extractor.timings.items()}}
+            "stages_synced": {k: round(v, 3) for k, v in stages.items()}}
         print(json.dumps({name: results[name]}), flush=True)
 
     run_one(RolledFeatureExtractor(models=bundle), "rolled")
