@@ -59,6 +59,7 @@ def make_rolled_template(rng: np.random.Generator, n_minu: int = 60,
                          mated_latent: Optional[Template] = None,
                          codebook: Optional[np.ndarray] = None,
                          noise: float = 0.25,
+                         tex_noise: float = 0.0,
                          mate_template_idx: int = 26) -> Template:
     """Rolled template in final-PQ form (uint8 texture codes).
 
@@ -66,7 +67,12 @@ def make_rolled_template(rng: np.random.Generator, n_minu: int = 60,
     the latent's *selected* minutiae template (default index 26, the first
     template the fused score uses — matcher.cpp:380), and the texture codes
     PQ-encode the latent's texture descriptors (requires ``codebook``) so
-    the genuine pair scores far above random impostors.
+    the genuine pair scores far above random impostors. ``noise`` grades
+    the minutiae-descriptor corruption and ``tex_noise`` the texture-
+    descriptor corruption before PQ encoding — together they produce
+    NEAR-MATES at controlled strengths (the structured-impostor rank-list
+    protocol plants a graded ladder of these so the dense top-24 is
+    meaningful, not iid noise).
     """
     t = Template()
     minu = random_minutiae(rng, n_minu, h, w, with_reliability=False)
@@ -91,7 +97,13 @@ def make_rolled_template(rng: np.random.Generator, n_minu: int = 60,
         tex[:k] = np.asarray(src.minutiae)[:k, :4]
         if codebook is not None and k:
             from ..ops.pq import pq_encode
-            codes[:k] = pq_encode(np.asarray(src.des)[:k], codebook)
+            d = np.asarray(src.des)[:k].astype(np.float32)
+            if tex_noise > 0:
+                d = d + tex_noise * rng.standard_normal(d.shape) \
+                    .astype(np.float32)
+                d /= np.linalg.norm(d, axis=1, keepdims=True) + 1e-7
+                d *= DES_NORM
+            codes[:k] = pq_encode(d, codebook)
     t.add_texture_template(TextureTemplate(h=h, w=w, minutiae=tex, des=codes))
     return t
 

@@ -40,13 +40,13 @@ def test_sd27_results_recorded():
     assert set(ranks) == set(SAMPLES), ranks
 
 
-@pytest.mark.xfail(strict=False, reason=(
-    "stand-in checkpoints do not yet retrieve all three SD27 mates at "
-    "rank 1 (reference acceptance: sample_data/sample_scores.txt); the "
-    "committed artifact records the honest current ranks. TODO: keep "
-    "improving the synthetic-pretrain stand-ins until 3/3, then drop "
-    "this marker."))
 def test_sd27_rank1_acceptance():
+    """All three SD27 mates at rank 1 (reference acceptance:
+    sample_data/sample_scores.txt) — achieved in r5 by the streamed v8
+    descriptor recipe whose renditions include the Gabor-enhanced domain
+    the matcher's selected templates describe. The committed
+    results/sd27/results.txt is the recording; sd27_imposters extends it
+    to 1/1/1 of 503+."""
     ranks = _parse(open(RESULTS).read())
     for name in SAMPLES:
         assert ranks.get(name) == 1, (name, ranks)
