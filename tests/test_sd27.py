@@ -52,6 +52,19 @@ def test_sd27_rank1_acceptance():
         assert ranks.get(name) == 1, (name, ranks)
 
 
+def test_sd27_imposter_scale_rank1():
+    """Mates rank-1 at imposter scale: 1/1/1 of 503 AND of 10003
+    (VERDICT r4 #1 done-criteria; artifacts recorded by
+    scripts/sd27_imposters.py --record / the 10k variant)."""
+    for fname in ("imposter_ranks.txt", "imposter_ranks_10k.txt"):
+        path = os.path.join(REPO, "results", "sd27", fname)
+        assert os.path.exists(path), fname
+        text = open(path).read()
+        for name in SAMPLES:
+            m = re.search(rf"{name}_latent\s+mate_rank=(\d+)/", text)
+            assert m and int(m.group(1)) == 1, (fname, name, text)
+
+
 def test_sd27_checkpoints_committed():
     if not os.path.isdir(CKPT):
         pytest.skip("checkpoints/standin not present in this checkout "
