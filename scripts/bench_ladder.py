@@ -19,7 +19,7 @@ Entries (select with LADDER=a,b,c env; default all):
               shard_map path (the ratio, not the absolute CPU speed).
 
 Writes one JSON object per line to stdout and the full dict to
-BENCH_LADDER_r04.json. Run alone (single TPU tunnel).
+BENCH_LADDER_r05.json. Run alone (single TPU tunnel).
 """
 import json
 import os
@@ -32,7 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CODEBOOK = "/root/reference/matching/codebook_EmbeddingSize_96_stride_16_subdim_6.dat"
-OUT = os.path.join(REPO, "BENCH_LADDER_r04.json")
+OUT = os.path.join(REPO, "BENCH_LADDER_r05.json")
 
 
 def _sync(r):
@@ -224,6 +224,85 @@ def bench_mated1k(results):
     print(json.dumps({"mated1k": results["mated1k"]}), flush=True)
 
 
+def bench_mated_cmc(results):
+    """Mated retrieval at scale with a noise sweep until the curve bends
+    (VERDICT r4 weak #7: mated1k is saturated at rank-1 = 1.0; this is the
+    knob that tells a descriptor-training round whether retrieval is
+    improving). For each gallery size in MATED_CMC_GALLERIES and each
+    descriptor-noise strength in MATED_CMC_NOISES, impression-B queries
+    (noisy descriptors + 3 px jitter + re-encoded texture) are matched
+    DENSE-EXACT against the A-enrolled gallery; records rank-1 / CMC@5 /
+    CMC@24 / mean rank."""
+    import jax.numpy as jnp
+    from msu_latentafis_tpu.matcher.engine import MatchEngine
+    from msu_latentafis_tpu.ops.pq import pq_decode
+    from msu_latentafis_tpu.templates import read_codebook
+    from msu_latentafis_tpu.templates.packing import PackedLatent
+    from msu_latentafis_tpu.utils.synthetic import (DES_NORM,
+                                                    synthetic_packed_gallery)
+
+    gals = [int(x) for x in os.environ.get(
+        "MATED_CMC_GALLERIES", "10000,100000").split(",")]
+    noises = [float(x) for x in os.environ.get(
+        "MATED_CMC_NOISES", "0.35,0.6,0.9,1.2").split(",")]
+    NQ = int(os.environ.get("MATED_CMC_QUERIES", "64"))
+    RM, RT = 96, 448
+    cb = read_codebook(CODEBOOK)
+    engine = MatchEngine(cb, block_size=512, compute_dtype=jnp.bfloat16,
+                         tex_int8=True)
+
+    for G in gals:
+        rng = np.random.default_rng(29)
+        packed = synthetic_packed_gallery(rng, cb, G=G, n_minu=RM, n_tex=RT)
+        gal = engine.load_gallery(packed)
+        tdes0 = [pq_decode(packed.tex_codes[i], cb).astype(np.float32)
+                 for i in range(NQ)]
+        entry = {"metric": f"mated-pair dense-exact retrieval vs {G} "
+                           f"A-enrolled gallery (impression-B queries, "
+                           f"3 px jitter, noise swept)",
+                 "queries": NQ, "curve": []}
+        for NOISE in noises:
+            qrng = np.random.default_rng(101)
+            queries = []
+            for i in range(NQ):
+                md = packed.minu_des[i] + NOISE * qrng.standard_normal(
+                    (RM, 96)).astype(np.float32)
+                md /= np.linalg.norm(md, axis=1, keepdims=True) + 1e-7
+                md *= DES_NORM
+                mxy = packed.minu_xy[i] + qrng.normal(0, 3.0, (RM, 2))
+                tdes = tdes0[i] + NOISE * qrng.standard_normal(
+                    tdes0[i].shape).astype(np.float32)
+                tdes *= DES_NORM / (np.linalg.norm(
+                    tdes, axis=1, keepdims=True) + 1e-7)
+                queries.append(PackedLatent(
+                    minu_des=md[None].astype(np.float32),
+                    minu_xy=mxy[None].astype(np.float32),
+                    minu_ori=packed.minu_ori[i][None],
+                    minu_n=packed.minu_n[i][None],
+                    tex_des=tdes,
+                    tex_xy=packed.tex_xy[i], tex_ori=packed.tex_ori[i],
+                    tex_n=packed.tex_n[i]))
+            ranks = []
+            t0 = time.time()
+            for i0 in range(0, NQ, 8):
+                s = np.asarray(engine.match_scores_batch(
+                    queries[i0:i0 + 8], gal))
+                for k in range(s.shape[0]):
+                    order = np.argsort(-s[k, :G], kind="stable")
+                    ranks.append(int(np.where(order == i0 + k)[0][0]) + 1)
+            dt = time.time() - t0
+            ranks = np.asarray(ranks)
+            point = {"noise": NOISE,
+                     "rank1": round(float((ranks == 1).mean()), 4),
+                     "cmc5": round(float((ranks <= 5).mean()), 4),
+                     "cmc24": round(float((ranks <= 24).mean()), 4),
+                     "mean_rank": round(float(ranks.mean()), 2),
+                     "queries_per_s": round(NQ / dt, 3)}
+            entry["curve"].append(point)
+            print(json.dumps({f"mated{G}": point}), flush=True)
+        results[f"mated{G}"] = entry
+
+
 def bench_rolled1k(results):
     """Config 2: symmetric rolled-vs-rolled identification (each rolled
     print's single minutiae template queries the whole 1K gallery)."""
@@ -352,13 +431,14 @@ def main():
     from msu_latentafis_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
     which = os.environ.get(
-        "LADDER", "spec100k,spec500k,rolled1k,mated1k,scale").split(",")
+        "LADDER", "spec100k,spec500k,rolled1k,mated1k,mated_cmc,scale").split(",")
     results = {}
     if os.path.exists(OUT):
         results = json.load(open(OUT))
     for name in which:
         {"spec100k": bench_spec100k, "spec500k": bench_spec500k,
          "rolled1k": bench_rolled1k, "mated1k": bench_mated1k,
+         "mated_cmc": bench_mated_cmc,
          "scale": bench_scale}[name](results)
         with open(OUT, "w") as f:
             json.dump(results, f, indent=1)
