@@ -300,6 +300,9 @@ def bench_mated_cmc(results):
     from msu_latentafis_tpu.utils.synthetic import (DES_NORM,
                                                     synthetic_packed_gallery)
 
+    from msu_latentafis_tpu.utils.synthetic import (device_synthetic_gallery,
+                                                    plant_gallery_entries)
+
     gals = [int(x) for x in os.environ.get(
         "MATED_CMC_GALLERIES", "10000,100000").split(",")]
     noises = [float(x) for x in os.environ.get(
@@ -312,8 +315,17 @@ def bench_mated_cmc(results):
 
     for G in gals:
         rng = np.random.default_rng(29)
-        packed = synthetic_packed_gallery(rng, cb, G=G, n_minu=RM, n_tex=RT)
-        gal = engine.load_gallery(packed)
+        # chunked on-device generation (load_gallery's one-shot predecode
+        # of a host-packed 100K gallery transits a [G, Rt, D] f32 decode
+        # buffer that OOMs HBM); the NQ query-base templates are generated
+        # host-side and planted at positions 0..NQ-1 so mate index ==
+        # query index
+        packed = synthetic_packed_gallery(rng, cb, G=NQ, n_minu=RM,
+                                          n_tex=RT)
+        gal = device_synthetic_gallery(engine, G, n_minu=RM, n_tex=RT,
+                                       codes_resident=False, seed=31,
+                                       chunk=1024)
+        gal = plant_gallery_entries(gal, engine, packed, list(range(NQ)))
         tdes0 = [pq_decode(packed.tex_codes[i], cb).astype(np.float32)
                  for i in range(NQ)]
         entry = {"metric": f"mated-pair dense-exact retrieval vs {G} "

@@ -8,7 +8,7 @@ the bench.py headline block, VERDICT r3 #5):
   topk+rerank = full - screen
 Plus standalone per-block kernel rates for the two screening kernels.
 
-Writes PROFILE_r04.json at the repo root.
+Writes PROFILE_r05.json at the repo root.
 Run alone - never concurrently with another TPU process.
 """
 import json
@@ -141,6 +141,19 @@ def main():
     t_adc = timed(lambda: float(np.asarray(adc_many(
         x_eff, xsq, jnp.asarray(lval), blk["tex_dec"], blk["tex_sqnorm"],
         rtval))))
+    # block sweep for the ADC rate (VERDICT r4 weak #6: CLAUDE.md's
+    # "46-60 TFLOP/s at block >= 512" vs PROFILE_r04's 32.58 at 512 —
+    # re-measured here amortized, several block sizes, min-of-3)
+    adc_by_block = {}
+    gd_full = engine._gallery_dict(gallery)
+    for BB in (512, 1024, 2048):
+        blkB = {k: v[:BB] for k, v in gd_full.items()}
+        rtvalB = jnp.ones((BB, RT), jnp.float32)
+        tB = timed(lambda: float(np.asarray(adc_many(
+            x_eff, xsq, jnp.asarray(lval), blkB["tex_dec"],
+            blkB["tex_sqnorm"], rtvalB))))
+        adc_by_block[str(BB)] = round(
+            NL * BB * 8 * 2 * LT * D * RT / tB / 1e12, 2)
     t_minu = timed(lambda: float(np.asarray(minu_many(
         jnp.asarray(lat_d["minu_des"], jnp.bfloat16).reshape(NL * 3, LM, D),
         jnp.asarray(mval), blk["minu_des"],
@@ -163,13 +176,14 @@ def main():
             "adc_screen_pairs_per_s": round(adc_pairs / t_adc),
             "adc_screen_tflops": round(adc_pairs * 2 * LT * D * RT
                                        / t_adc / 1e12, 2),
+            "adc_screen_tflops_by_block": adc_by_block,
             "minu_screen_pairs_per_s": round(minu_pairs / t_minu),
             "minu_screen_tflops": round(minu_pairs * 2 * LM * D * RM
                                         / t_minu / 1e12, 2),
         },
     }
     print(json.dumps(out, indent=1))
-    with open(os.path.join(REPO, "PROFILE_r04.json"), "w") as f:
+    with open(os.path.join(REPO, "PROFILE_r05.json"), "w") as f:
         json.dump(out, f, indent=1)
 
 

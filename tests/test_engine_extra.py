@@ -37,6 +37,37 @@ def test_predecoded_gallery_matches_codes(rng):
     np.testing.assert_allclose(s1, s2, rtol=1e-5, atol=1e-5)
 
 
+def test_split_serving_equals_fused(rng):
+    """split_serving (3-dispatch screen/gather/exact — the 400K path) must
+    return identical indices, exact scores, and margins to the fused
+    single-dispatch rerank, both plain and under truncated prescreen."""
+    codebook = random_codebook(rng)
+    engine = MatchEngine(codebook, block_size=4)
+    gallery = [make_rolled_template(rng, n_minu=20, n_tex=40)
+               for _ in range(12)]
+    pg = engine.load_gallery(pack_gallery(gallery, codebook, **CAPS))
+    lats = [pack_latent(make_latent_template(rng, n_minu=12, n_tex=30),
+                        quantize_tex_xy=False, **CAPS) for _ in range(3)]
+    i1, e1, m1, t1 = engine.match_scores_batch_reranked(
+        lats, pg, m=8, split_serving=False)
+    i2, e2, m2, t2 = engine.match_scores_batch_reranked(
+        lats, pg, m=8, split_serving=True)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e2),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(m1, m2, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(t1, t2, rtol=1e-5, atol=1e-5)
+    i3, e3, _, _ = engine.match_scores_batch_reranked(
+        lats, pg, m=8, prescreen_k=8, prescreen_lt=16, prescreen_t=1,
+        split_serving=True)
+    i4, e4, _, _ = engine.match_scores_batch_reranked(
+        lats, pg, m=8, prescreen_k=8, prescreen_lt=16, prescreen_t=1,
+        split_serving=False)
+    np.testing.assert_array_equal(np.asarray(i3), np.asarray(i4))
+    np.testing.assert_allclose(np.asarray(e3), np.asarray(e4),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     import jax
     import jax.numpy as jnp
