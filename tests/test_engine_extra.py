@@ -68,6 +68,27 @@ def test_split_serving_equals_fused(rng):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_graded_near_mates_score_monotonically(rng):
+    """make_rolled_template's noise/tex_noise grades (the structured-
+    impostor parity protocol's ladder) must produce near-mates whose
+    exact fused scores decrease with the noise strength."""
+    codebook = random_codebook(rng)
+    engine = MatchEngine(codebook, block_size=4)
+    lat_t = make_latent_template(rng, n_minu=24, n_tex=40)
+    lat = pack_latent(lat_t, quantize_tex_xy=False, **CAPS)
+    grades = [(0.25, 0.0), (0.8, 0.8), (2.0, 3.0)]
+    mates = [make_rolled_template(rng, n_minu=24, n_tex=40,
+                                  mated_latent=lat_t, codebook=codebook,
+                                  noise=n, tex_noise=t)
+             for n, t in grades]
+    fillers = [make_rolled_template(rng, n_minu=24, n_tex=40)
+               for _ in range(5)]
+    pg = engine.load_gallery(pack_gallery(mates + fillers, codebook, **CAPS))
+    s = engine.one_to_list(lat, pg).scores
+    assert s[0] > s[1] > s[2], s[:3]
+    assert s[2] > max(s[3:8]) or s[1] > max(s[3:8]), s
+
+
 def test_checkpoint_roundtrip(tmp_path):
     import jax
     import jax.numpy as jnp
