@@ -79,6 +79,38 @@ def main():
     run_one(RolledFeatureExtractor(models=bundle), "rolled")
     run_one(LatentFeatureExtractor(models=bundle), "latent")
 
+    # REAL workload: the three SD27 sample latents (the synthetic bench
+    # image has a full-coverage mask whose ~4200 virtual minutiae make the
+    # texture stage a worst case; real latents carry ~600-900)
+    sd = "/root/reference/sample_data"
+    if os.path.isdir(sd):
+        import imageio.v2 as imageio
+        from msu_latentafis_tpu.pipeline.latent import adjust_image_size
+        ex = LatentFeatureExtractor(models=bundle)
+        sd_imgs = []
+        for n in ("good", "bad", "ugly"):
+            im = np.asarray(imageio.imread(
+                os.path.join(sd, f"{n}_latent.bmp")), np.float32)
+            if im.ndim == 3:
+                im = im.mean(axis=2)
+            sd_imgs.append(adjust_image_size(im))
+        ex.extract(sd_imgs[0])                      # warm per-shape
+        per = {}
+        for n, im in zip(("good", "bad", "ugly"), sd_imgs):
+            ts = []
+            for _ in range(2):
+                t0 = time.time()
+                ex.extract(im)
+                ts.append(time.time() - t0)
+            per[n] = round(min(ts), 3)
+        results["latent_sd27"] = {
+            "metric": "seconds/latent on the 3 REAL SD27 sample latents "
+                      "(min-of-2 steady state, trained stand-ins)",
+            "per_image": per,
+            "seconds_per_image_mean": round(sum(per.values()) / 3, 3)}
+        print(json.dumps({"latent_sd27": results["latent_sd27"]}),
+              flush=True)
+
     with open(OUT, "w") as f:
         json.dump(results, f, indent=1)
 
