@@ -213,9 +213,12 @@ def main():
         print(json.dumps({
             "metric": f"latents matched/s vs {G}-template PQ gallery at "
                       f"REFERENCE-CAP shapes Lm=Rm=128, Lt=Rt=1000 "
-                      f"(matcher.h:31-32) on 1 chip; {mode}; serving-vs-"
-                      f"dense mate-rank-1 agreement: results/rank_parity_"
-                      f"100k{{,_cap}}.json{extra}; baseline: {base_src}",
+                      f"(matcher.h:31-32) on 1 chip; {mode}; serving "
+                      f"rank-list fidelity: results/rank_parity_"
+                      f"structured.json (top-24 set+order 24/24 on "
+                      f"graded-near-mate galleries; iid galleries: "
+                      f"mate-rank-1 only, rank_parity_100k*.json)"
+                      f"{extra}; baseline: {base_src}",
             "value": round(rcap, 4),
             "unit": "latents/s",
             "vs_baseline": round(rcap / base, 2) if base == base else
