@@ -9,7 +9,7 @@ full extract — use between pretrain iterations to accept/reject a
 checkpoint set before paying for scripts/run_sd27.py.
 
 Health criteria (from the working round-3 run, commit 2374bd9: sets
-[188,194,12,25,28,30,167], mask_frac > 0): mask_frac >= 0.05 on every
+[188,194,12,25,28,30,167], mask_frac > 0): mask_frac >= 0.02 on every
 latent and detection sets 0/1/2 all nonempty.
 
 Usage: python scripts/probe_standins.py [--ckpt checkpoints/standin]
@@ -83,7 +83,12 @@ def main():
             "set1_contrast_stft@0.10": n1,
             "set2_aec@0.25": n2,
         }
-        healthy = mask_frac >= 0.05 and n0 > 0 and n1 > 0 and n2 > 0
+        # mask_frac threshold calibrated to the RECORDED 3/3 acceptance:
+        # ugly_latent succeeds end-to-end (rank-1, texture score 9.8,
+        # results/sd27/) with mask_frac 0.032 — the old 0.05 (from the r3
+        # working set) false-fails it. 0.02 still catches the collapsed-
+        # mask failure mode (TPU-trained enhancement plateaus at ~0.00).
+        healthy = mask_frac >= 0.02 and n0 > 0 and n1 > 0 and n2 > 0
         d["healthy"] = healthy
         ok = ok and healthy
         print(json.dumps(d), flush=True)
